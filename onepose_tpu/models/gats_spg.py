@@ -1,0 +1,316 @@
+"""GATsSPG: graph-attention 2D-3D matcher (the core OnePose model), TPU-native.
+
+Functional JAX re-implementation behaviorally matching the reference
+(/root/reference/src/models/GATsSPG_architectures/GATs_SuperGlue.py:143-241 and
+GATs.py:6-88): a 12-layer GNN stack ['GATs', 'self', 'cross'] x 4 where GATs
+layers refresh each 3D point's descriptor from its ``num_leaf`` 2D leaf
+observations via additive graph attention, and self/cross layers are
+linear-attention (elu+1 kernel) message passing; final 1x1 projection,
+L2-normalize, dual-softmax score matrix, mutual-max + threshold matching.
+
+TPU-first design choices:
+- token layout is [B, N, D] (feature dim last → MXU-friendly matmuls), vs the
+  reference's [B, D, N];
+- static shapes with validity masks instead of ragged inputs / empty-input
+  early-outs (GATs_SuperGlue.py:195-203);
+- fp32 score matrices (dual-softmax numerics), bf16-able GNN body.
+
+Note: the reference constructs ``kenc_2d``/``kenc_3d`` keypoint encoders and a
+``bin_score`` parameter that are never used in ``forward``
+(GATs_SuperGlue.py:150-160,176-177) — dead code, intentionally not rebuilt.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+Params = Dict[str, Any]
+
+DEFAULT_CONFIG = {
+    "descriptor_dim": 256,
+    "num_heads": 4,
+    "num_blocks": 4,  # each block = [GATs, self, cross]
+    "scale_factor": 0.07,
+    "match_threshold": 0.2,
+    "include_self": True,
+    "additional": False,
+    "with_linear_transform": False,
+}
+
+
+class MatchOutput(NamedTuple):
+    matches0: jnp.ndarray          # [B, N1] int32 index into 3D set, -1 invalid
+    matches1: jnp.ndarray          # [B, N2] int32 index into 2D set, -1 invalid
+    matching_scores0: jnp.ndarray  # [B, N1]
+    matching_scores1: jnp.ndarray  # [B, N2]
+    conf_matrix: jnp.ndarray       # [B, N1, N2] dual-softmax confidences
+
+
+# ---------------------------------------------------------------------------
+# Init
+# ---------------------------------------------------------------------------
+
+def _linear_init(key, cin, cout):
+    # Kaiming-uniform fan_in (torch Conv1d default) for behavioral parity of
+    # randomly-initialized parity tests; exact init scheme doesn't matter for
+    # converted checkpoints.
+    bound = np.sqrt(1.0 / cin)
+    kw, kb = jax.random.split(key)
+    return {
+        "w": jax.random.uniform(kw, (cin, cout), jnp.float32, -bound, bound),
+        "b": jax.random.uniform(kb, (cout,), jnp.float32, -bound, bound),
+    }
+
+
+def _init_attn_prop(key, d):
+    keys = jax.random.split(key, 6)
+    return {
+        "proj_q": _linear_init(keys[0], d, d),
+        "proj_k": _linear_init(keys[1], d, d),
+        "proj_v": _linear_init(keys[2], d, d),
+        "merge": _linear_init(keys[3], d, d),
+        "mlp0": _linear_init(keys[4], 2 * d, 2 * d),
+        "mlp1": _linear_init(keys[5], 2 * d, d),
+    }
+
+
+def _init_gats(key, d):
+    k1, k2 = jax.random.split(key)
+    # xavier_normal with gain 1.414 (GATs.py:26-28)
+    std_w = 1.414 * np.sqrt(2.0 / (d + d))
+    std_a = 1.414 * np.sqrt(2.0 / (2 * d + 1))
+    return {
+        "W": std_w * jax.random.normal(k1, (d, d), jnp.float32),
+        "a": std_a * jax.random.normal(k2, (2 * d, 1), jnp.float32),
+    }
+
+
+def init_params(rng: jax.Array, config: Optional[dict] = None) -> Params:
+    cfg = dict(DEFAULT_CONFIG)
+    if config:
+        cfg.update(config)
+    d = cfg["descriptor_dim"]
+    n_layers = 3 * cfg["num_blocks"]
+    keys = jax.random.split(rng, n_layers + 1)
+    layers = []
+    for i in range(n_layers):
+        if i % 3 == 0:
+            layers.append(_init_gats(keys[i], d))
+        else:
+            layers.append(_init_attn_prop(keys[i], d))
+    return {"gnn": layers, "final_proj": _linear_init(keys[-1], d, d)}
+
+
+# ---------------------------------------------------------------------------
+# Layers
+# ---------------------------------------------------------------------------
+
+def _linear(x: jnp.ndarray, p: Params) -> jnp.ndarray:
+    return jnp.einsum(
+        "...i,io->...o", x, p["w"], preferred_element_type=jnp.float32
+    ) + p["b"]
+
+
+def _split_heads(x: jnp.ndarray, num_heads: int) -> jnp.ndarray:
+    """[B, N, D] → [B, N, H, Dh] matching torch's view(b, dh, h, n) channel
+    decomposition c = dh_index * H + h (GATs_SuperGlue.py:96-99)."""
+    b, n, d = x.shape
+    return x.reshape(b, n, d // num_heads, num_heads).transpose(0, 1, 3, 2)
+
+
+def _merge_heads(x: jnp.ndarray) -> jnp.ndarray:
+    b, n, h, dh = x.shape
+    return x.transpose(0, 1, 3, 2).reshape(b, n, h * dh)
+
+
+def linear_attention(q, k, v):
+    """O(N) attention with the elu(x)+1 feature map
+    (GATs_SuperGlue.py:69-80). q: [B, Nq, H, D]; k, v: [B, Nk, H, D]."""
+    eps = 1e-6
+    q = jax.nn.elu(q) + 1.0
+    k = jax.nn.elu(k) + 1.0
+    v_len = v.shape[1]
+    v = v / v_len
+    kv = jnp.einsum("bmhd,bmhe->bhde", k, v,
+                    preferred_element_type=jnp.float32)
+    z = 1.0 / (
+        jnp.einsum("bnhd,bhd->bnh", q, k.sum(axis=1),
+                   preferred_element_type=jnp.float32) + eps
+    )
+    out = jnp.einsum("bnhd,bhde,bnh->bnhe", q, kv, z,
+                     preferred_element_type=jnp.float32)
+    return out * v_len
+
+
+def _instance_norm(x: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
+    """InstanceNorm over the token axis (torch InstanceNorm1d on [B, C, N],
+    affine=False): per (batch, channel) normalize across tokens."""
+    mean = x.mean(axis=1, keepdims=True)
+    var = x.var(axis=1, keepdims=True)
+    return (x - mean) * jax.lax.rsqrt(var + eps)
+
+
+def attention_propagation(p: Params, x: jnp.ndarray, source: jnp.ndarray,
+                          num_heads: int) -> jnp.ndarray:
+    """AttentionPropagation (GATs_SuperGlue.py:104-113): multi-head linear
+    attention + MLP([2d→2d, InstanceNorm, ReLU, 2d→d]). Returns the delta (the
+    caller adds the residual)."""
+    q = _split_heads(_linear(x, p["proj_q"]), num_heads)
+    k = _split_heads(_linear(source, p["proj_k"]), num_heads)
+    v = _split_heads(_linear(source, p["proj_v"]), num_heads)
+    message = _linear(_merge_heads(linear_attention(q, k, v)), p["merge"])
+    h = _linear(jnp.concatenate([x, message], axis=-1), p["mlp0"])
+    h = jax.nn.relu(_instance_norm(h))
+    return _linear(h, p["mlp1"])
+
+
+def gats_layer(p: Params, h_2d: jnp.ndarray, h_3d: jnp.ndarray,
+               cfg: dict) -> jnp.ndarray:
+    """Leaf-restricted graph attention (GATs.py:35-88): each 3D point attends
+    over {self} ∪ its num_leaf 2D observations with additive attention.
+
+    h_2d: [B, N1*L, D] leaf descriptors; h_3d: [B, N1, D] → new [B, N1, D].
+    """
+    b, n1, d = h_3d.shape
+    num_leaf = h_2d.shape[1] // n1
+    W, a = p["W"], p["a"]
+
+    wh_2d = jnp.einsum("bnd,de->bne", h_2d, W,
+                       preferred_element_type=jnp.float32)
+    wh_3d = jnp.einsum("bnd,de->bne", h_3d, W,
+                       preferred_element_type=jnp.float32)
+
+    a2d = (wh_2d @ a[:d]).reshape(b, n1, num_leaf)   # [B, N1, L]
+    a3d = wh_3d @ a[d:]                               # [B, N1, 1]
+
+    h_2d_g = h_2d.reshape(b, n1, num_leaf, d)
+    wh_2d_g = wh_2d.reshape(b, n1, num_leaf, d)
+
+    if cfg["include_self"]:
+        e = jnp.concatenate([a3d, a2d], axis=-1) + a3d      # [B, N1, 1+L]
+        att = jax.nn.softmax(jax.nn.leaky_relu(e, 0.2), axis=-1)
+        feats = (
+            jnp.concatenate([wh_3d[:, :, None], wh_2d_g], axis=2)
+            if cfg["with_linear_transform"]
+            else jnp.concatenate([h_3d[:, :, None], h_2d_g], axis=2)
+        )
+        h_prime = jnp.einsum("bnc,bncd->bnd", att, feats,
+                             preferred_element_type=jnp.float32)
+        if cfg["additional"]:
+            h_prime = h_prime + h_3d
+    else:
+        e = a2d + a3d
+        att = jax.nn.softmax(jax.nn.leaky_relu(e, 0.2), axis=-1)
+        if cfg["with_linear_transform"]:
+            h_prime = jnp.einsum("bnc,bncd->bnd", att, wh_2d_g,
+                                 preferred_element_type=jnp.float32)
+            h_prime = h_prime / 2.0 + wh_3d
+        else:
+            h_prime = jnp.einsum("bnc,bncd->bnd", att, h_2d_g,
+                                 preferred_element_type=jnp.float32)
+            h_prime = h_prime / 2.0 + h_3d
+    return jax.nn.elu(h_prime)  # concat=True path (GATs.py:69-70)
+
+
+# ---------------------------------------------------------------------------
+# Matching head
+# ---------------------------------------------------------------------------
+
+def dual_softmax_match(mdesc0: jnp.ndarray, mdesc1: jnp.ndarray,
+                       scale_factor: float, match_threshold: float,
+                       mask0: Optional[jnp.ndarray] = None,
+                       mask1: Optional[jnp.ndarray] = None) -> MatchOutput:
+    """Dual-softmax scores + mutual-max + threshold matching
+    (GATs_SuperGlue.py:216-230), with optional validity masks that the
+    reference's ragged inputs don't need."""
+    scores = jnp.einsum(
+        "bnd,bmd->bnm", mdesc0, mdesc1, preferred_element_type=jnp.float32
+    ) / scale_factor
+    conf = jax.nn.softmax(scores, axis=1) * jax.nn.softmax(scores, axis=2)
+
+    b, n1, n2 = conf.shape
+    indices0 = jnp.argmax(conf, axis=2)  # [B, N1]
+    indices1 = jnp.argmax(conf, axis=1)  # [B, N2]
+    max0 = jnp.max(conf, axis=2)
+
+    ar0 = jnp.arange(n1)[None, :]
+    ar1 = jnp.arange(n2)[None, :]
+    mutual0 = ar0 == jnp.take_along_axis(indices1, indices0, axis=1)
+    mutual1 = ar1 == jnp.take_along_axis(indices0, indices1, axis=1)
+
+    mscores0 = jnp.where(mutual0, max0, 0.0)
+    mscores1 = jnp.where(
+        mutual1, jnp.take_along_axis(mscores0, indices1, axis=1), 0.0
+    )
+    valid0 = mutual0 & (mscores0 > match_threshold)
+    if mask0 is not None:
+        valid0 &= mask0
+    if mask1 is not None:
+        valid0 &= jnp.take_along_axis(mask1, indices0, axis=1)
+    valid1 = mutual1 & jnp.take_along_axis(valid0, indices1, axis=1)
+
+    matches0 = jnp.where(valid0, indices0, -1).astype(jnp.int32)
+    matches1 = jnp.where(valid1, indices1, -1).astype(jnp.int32)
+    return MatchOutput(matches0, matches1, mscores0, mscores1, conf)
+
+
+# ---------------------------------------------------------------------------
+# Forward
+# ---------------------------------------------------------------------------
+
+def forward(params: Params, data: Dict[str, jnp.ndarray],
+            config: Optional[dict] = None) -> MatchOutput:
+    """Match 2D query keypoints against the 3D point DB.
+
+    data keys ([B, N, D] token layout):
+      descriptors2d_query: [B, N1, D]
+      descriptors3d_db:    [B, N2, D]
+      descriptors2d_db:    [B, N2*num_leaf, D] leaf descriptors
+      (optional) mask2d: [B, N1] bool, mask3d: [B, N2] bool
+    """
+    cfg = dict(DEFAULT_CONFIG)
+    if config:
+        cfg.update(config)
+    d2q = data["descriptors2d_query"].astype(jnp.float32)
+    d3db = data["descriptors3d_db"].astype(jnp.float32)
+    d2db = data["descriptors2d_db"].astype(jnp.float32)
+
+    layer_names = ["GATs", "self", "cross"] * cfg["num_blocks"]
+    for p, name in zip(params["gnn"], layer_names):
+        if name == "GATs":
+            d3db = gats_layer(p, d2db, d3db, cfg)
+        elif name == "self":
+            delta0 = attention_propagation(p, d2q, d2q, cfg["num_heads"])
+            delta1 = attention_propagation(p, d3db, d3db, cfg["num_heads"])
+            d2q, d3db = d2q + delta0, d3db + delta1
+        else:  # cross
+            delta0 = attention_propagation(p, d2q, d3db, cfg["num_heads"])
+            delta1 = attention_propagation(p, d3db, d2q, cfg["num_heads"])
+            d2q, d3db = d2q + delta0, d3db + delta1
+
+    m0 = _linear(d2q, params["final_proj"])
+    m1 = _linear(d3db, params["final_proj"])
+    m0 = m0 / jnp.maximum(jnp.linalg.norm(m0, axis=-1, keepdims=True), 1e-12)
+    m1 = m1 / jnp.maximum(jnp.linalg.norm(m1, axis=-1, keepdims=True), 1e-12)
+
+    return dual_softmax_match(
+        m0, m1, cfg["scale_factor"], cfg["match_threshold"],
+        mask0=data.get("mask2d"), mask1=data.get("mask3d"),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("config_items",))
+def _forward_jit(params, data, config_items):
+    return forward(params, data, dict(config_items))
+
+
+def match(params: Params, data: Dict[str, jnp.ndarray],
+          config: Optional[dict] = None) -> MatchOutput:
+    cfg = dict(DEFAULT_CONFIG)
+    if config:
+        cfg.update(config)
+    return _forward_jit(params, data, tuple(sorted(cfg.items())))

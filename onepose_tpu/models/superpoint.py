@@ -1,0 +1,269 @@
+"""SuperPoint keypoint detector/descriptor, TPU-native.
+
+Functional JAX re-implementation with the same behavior as the reference
+(/root/reference/src/models/extractors/SuperPoint/superpoint.py:95-197):
+VGG-style shared encoder, 65-channel detector head with channel softmax +
+depth-to-space, iterative max-pool NMS, threshold/border filtering, and
+bilinear descriptor sampling — but batched, NHWC, and with *static-shape*
+keypoint outputs: instead of ragged per-image lists, every image yields
+exactly ``max_keypoints`` slots with a validity mask, so the whole
+frame→pose path jits once.
+
+Weights load from the reference ``superpoint_v1.pth`` via
+:mod:`onepose_tpu.models.convert`.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+Params = Dict[str, Any]
+
+DEFAULT_CONFIG = {
+    "descriptor_dim": 256,
+    "nms_radius": 4,
+    "keypoint_threshold": 0.005,
+    "max_keypoints": 1024,
+    "remove_borders": 4,
+}
+
+_ENCODER_CHANNELS = [
+    # (name, in, out); "pool" entries mark 2x2 max-pool boundaries
+    ("conv1a", 1, 64), ("conv1b", 64, 64), ("pool",),
+    ("conv2a", 64, 64), ("conv2b", 64, 64), ("pool",),
+    ("conv3a", 64, 128), ("conv3b", 128, 128), ("pool",),
+    ("conv4a", 128, 128), ("conv4b", 128, 128),
+]
+
+
+class SuperPointOutput(NamedTuple):
+    """Static-shape extraction result for a batch of images.
+
+    keypoints:   [B, K, 2] float (x, y) pixel coords; garbage where ~valid
+    scores:      [B, K] float detection scores (0 where ~valid)
+    descriptors: [B, K, D] L2-normalized descriptors (1s where ~valid, the
+                 reference's "dustbin" padding convention,
+                 data_utils.py:157-158)
+    mask:        [B, K] bool validity
+    """
+
+    keypoints: jnp.ndarray
+    scores: jnp.ndarray
+    descriptors: jnp.ndarray
+    mask: jnp.ndarray
+
+
+# ---------------------------------------------------------------------------
+# Parameter init / structure
+# ---------------------------------------------------------------------------
+
+def init_params(rng: jax.Array, descriptor_dim: int = 256) -> Params:
+    """Random init (He) with the same layer structure as the reference net."""
+    params = {}
+    keys = jax.random.split(rng, 16)
+    k = iter(range(16))
+
+    def conv(key, cin, cout, ksize):
+        fan_in = cin * ksize * ksize
+        w = jax.random.normal(key, (ksize, ksize, cin, cout), jnp.float32)
+        w = w * np.sqrt(2.0 / fan_in)
+        return {"w": w, "b": jnp.zeros((cout,), jnp.float32)}
+
+    for entry in _ENCODER_CHANNELS:
+        if entry[0] == "pool":
+            continue
+        name, cin, cout = entry
+        params[name] = conv(keys[next(k)], cin, cout, 3)
+    params["convPa"] = conv(keys[next(k)], 128, 256, 3)
+    params["convPb"] = conv(keys[next(k)], 256, 65, 1)
+    params["convDa"] = conv(keys[next(k)], 128, 256, 3)
+    params["convDb"] = conv(keys[next(k)], 256, descriptor_dim, 1)
+    return params
+
+
+# ---------------------------------------------------------------------------
+# Dense network
+# ---------------------------------------------------------------------------
+
+def _conv2d(x: jnp.ndarray, p: Params, padding: str = "SAME") -> jnp.ndarray:
+    y = jax.lax.conv_general_dilated(
+        x, p["w"], window_strides=(1, 1), padding=padding,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    return y + p["b"]
+
+
+def _maxpool2(x: jnp.ndarray) -> jnp.ndarray:
+    return jax.lax.reduce_window(
+        x, -jnp.inf, jax.lax.max,
+        window_dimensions=(1, 2, 2, 1), window_strides=(1, 2, 2, 1),
+        padding="VALID",
+    )
+
+
+def dense_heads(params: Params, images: jnp.ndarray):
+    """Shared encoder + both heads.
+
+    images: [B, H, W, 1] grayscale in [0, 1]. H, W divisible by 8.
+    Returns (scores [B, H, W], desc_coarse [B, H/8, W/8, D] L2-normalized).
+    """
+    x = images
+    for entry in _ENCODER_CHANNELS:
+        if entry[0] == "pool":
+            x = _maxpool2(x)
+        else:
+            x = jax.nn.relu(_conv2d(x, params[entry[0]]))
+
+    # Detector head: 65ch softmax, drop dustbin, 8x depth-to-space.
+    cpa = jax.nn.relu(_conv2d(x, params["convPa"]))
+    logits = _conv2d(cpa, params["convPb"])  # [B, Hc, Wc, 65]
+    probs = jax.nn.softmax(logits, axis=-1)[..., :-1]  # [B, Hc, Wc, 64]
+    b, hc, wc, _ = probs.shape
+    scores = probs.reshape(b, hc, wc, 8, 8)
+    scores = scores.transpose(0, 1, 3, 2, 4).reshape(b, hc * 8, wc * 8)
+
+    # Descriptor head.
+    cda = jax.nn.relu(_conv2d(x, params["convDa"]))
+    desc = _conv2d(cda, params["convDb"])  # [B, Hc, Wc, D]
+    desc = desc / jnp.maximum(
+        jnp.linalg.norm(desc, axis=-1, keepdims=True), 1e-12
+    )
+    return scores, desc
+
+
+# ---------------------------------------------------------------------------
+# NMS + keypoint selection (static shapes)
+# ---------------------------------------------------------------------------
+
+def _maxpool_same(x: jnp.ndarray, radius: int) -> jnp.ndarray:
+    """Max-pool [B, H, W] with window 2r+1, stride 1, SAME padding."""
+    k = 2 * radius + 1
+    return jax.lax.reduce_window(
+        x, -jnp.inf, jax.lax.max,
+        window_dimensions=(1, k, k), window_strides=(1, 1, 1),
+        padding=((0, 0), (radius, radius), (radius, radius)),
+    )
+
+
+def simple_nms(scores: jnp.ndarray, nms_radius: int) -> jnp.ndarray:
+    """Iterative max-pool NMS, identical recurrence to the reference
+    (superpoint.py:47-62): two suppression rounds re-admitting local maxima of
+    the suppressed map."""
+    zeros = jnp.zeros_like(scores)
+    max_mask = scores == _maxpool_same(scores, nms_radius)
+    for _ in range(2):
+        supp_mask = _maxpool_same(max_mask.astype(scores.dtype), nms_radius) > 0
+        supp_scores = jnp.where(supp_mask, zeros, scores)
+        new_max_mask = supp_scores == _maxpool_same(supp_scores, nms_radius)
+        max_mask = max_mask | (new_max_mask & (~supp_mask))
+    return jnp.where(max_mask, scores, zeros)
+
+
+def _bilinear_sample_desc(desc: jnp.ndarray, kpts_xy: jnp.ndarray,
+                          s: int = 8) -> jnp.ndarray:
+    """Sample the coarse descriptor map at keypoint pixel locations.
+
+    Reproduces the reference coordinate mapping (superpoint.py:80-92):
+    normalized = ((kpt - s/2 + 0.5) / (dim*s - s/2 - 0.5)) * 2 - 1, sampled
+    with bilinear interpolation, align_corners=True, zero padding, then
+    L2-normalized over channels.
+
+    desc: [Hc, Wc, D]; kpts_xy: [K, 2] (x, y) full-res pixels → [K, D].
+    """
+    hc, wc, d = desc.shape
+    denom = jnp.array(
+        [wc * s - s / 2.0 - 0.5, hc * s - s / 2.0 - 0.5], jnp.float32
+    )
+    g = (kpts_xy - s / 2.0 + 0.5) / denom * 2.0 - 1.0  # in (-1, 1)
+    # align_corners=True: -1 → 0, +1 → dim-1
+    fx = (g[:, 0] + 1.0) * 0.5 * (wc - 1)
+    fy = (g[:, 1] + 1.0) * 0.5 * (hc - 1)
+
+    x0 = jnp.floor(fx)
+    y0 = jnp.floor(fy)
+    tx = fx - x0
+    ty = fy - y0
+
+    def gather(yi, xi):
+        inb = (yi >= 0) & (yi < hc) & (xi >= 0) & (xi < wc)
+        yi_c = jnp.clip(yi, 0, hc - 1).astype(jnp.int32)
+        xi_c = jnp.clip(xi, 0, wc - 1).astype(jnp.int32)
+        vals = desc[yi_c, xi_c]  # [K, D]
+        return jnp.where(inb[:, None], vals, 0.0)
+
+    v00 = gather(y0, x0)
+    v01 = gather(y0, x0 + 1)
+    v10 = gather(y0 + 1, x0)
+    v11 = gather(y0 + 1, x0 + 1)
+    out = (
+        v00 * ((1 - tx) * (1 - ty))[:, None]
+        + v01 * (tx * (1 - ty))[:, None]
+        + v10 * ((1 - tx) * ty)[:, None]
+        + v11 * (tx * ty)[:, None]
+    )
+    return out / jnp.maximum(jnp.linalg.norm(out, axis=-1, keepdims=True), 1e-12)
+
+
+def _select_keypoints_single(scores: jnp.ndarray, desc: jnp.ndarray,
+                             config: dict) -> SuperPointOutput:
+    """Static top-K keypoint selection for one image.
+
+    scores: [H, W] post-NMS; desc: [Hc, Wc, D].
+    """
+    h, w = scores.shape
+    k = config["max_keypoints"]
+    border = config["remove_borders"]
+    thr = config["keypoint_threshold"]
+
+    row = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+    border_ok = (
+        (row >= border) & (row < h - border)
+        & (col >= border) & (col < w - border)
+    )
+    masked = jnp.where(border_ok & (scores > thr), scores, -1.0)
+
+    flat = masked.reshape(-1)
+    top_scores, top_idx = jax.lax.top_k(flat, k)
+    ys = (top_idx // w).astype(jnp.float32)
+    xs = (top_idx % w).astype(jnp.float32)
+    valid = top_scores > 0.0
+
+    kpts = jnp.stack([xs, ys], axis=-1)  # (x, y)
+    descs = _bilinear_sample_desc(desc, kpts)
+    # Invalid slots: dustbin convention — all-ones descriptors, score 0,
+    # keypoints parked at the image center (harmless for matching; masked).
+    descs = jnp.where(valid[:, None], descs, 1.0)
+    out_scores = jnp.where(valid, top_scores, 0.0)
+    kpts = jnp.where(
+        valid[:, None], kpts,
+        jnp.array([w / 2.0, h / 2.0], jnp.float32),
+    )
+    return SuperPointOutput(kpts, out_scores, descs, valid)
+
+
+@functools.partial(jax.jit, static_argnames=("config_items",))
+def _extract_jit(params: Params, images: jnp.ndarray, config_items):
+    config = dict(config_items)
+    scores, desc = dense_heads(params, images)
+    scores = simple_nms(scores, config["nms_radius"])
+    return jax.vmap(lambda s, d: _select_keypoints_single(s, d, config))(
+        scores, desc
+    )
+
+
+def extract(params: Params, images: jnp.ndarray,
+            config: dict | None = None) -> SuperPointOutput:
+    """End-to-end jitted extraction. images: [B, H, W, 1] in [0, 1]."""
+    cfg = dict(DEFAULT_CONFIG)
+    if config:
+        cfg.update(config)
+    if cfg["max_keypoints"] is None or cfg["max_keypoints"] < 0:
+        raise ValueError(
+            "TPU-native SuperPoint requires a static max_keypoints budget"
+        )
+    return _extract_jit(params, images, tuple(sorted(cfg.items())))

@@ -1,0 +1,136 @@
+"""Behavioral parity: JAX SuperPoint vs the reference torch module with
+identical (randomly initialized, converted) weights."""
+import numpy as np
+import pytest
+
+import conftest
+
+torch = pytest.importorskip("torch")
+pytestmark = pytest.mark.skipif(
+    not conftest.reference_available(), reason="reference repo not present"
+)
+
+
+@pytest.fixture(scope="module")
+def models():
+    from ref_loader import load_ref_superpoint
+    from onepose_tpu.models import superpoint as sp
+    from onepose_tpu.models.convert import superpoint_from_state_dict
+
+    RefSP = load_ref_superpoint()
+    torch.manual_seed(0)
+    config = {"max_keypoints": 256, "keypoint_threshold": 0.005}
+    ref = RefSP(config).eval()
+    params = superpoint_from_state_dict(
+        {k: v for k, v in ref.state_dict().items()})
+    return ref, params, config, sp
+
+
+def _rand_image(rng, h=64, w=96):
+    return rng.uniform(0.0, 1.0, (1, 1, h, w)).astype(np.float32)
+
+
+def test_dense_heads_parity(models):
+    ref, params, config, sp = models
+    rng = np.random.default_rng(0)
+    img = _rand_image(rng)
+
+    with torch.no_grad():
+        x = torch.from_numpy(img)
+        t = ref.relu(ref.conv1a(x))
+        t = ref.relu(ref.conv1b(t))
+        t = ref.pool(t)
+        t = ref.relu(ref.conv2a(t))
+        t = ref.relu(ref.conv2b(t))
+        t = ref.pool(t)
+        t = ref.relu(ref.conv3a(t))
+        t = ref.relu(ref.conv3b(t))
+        t = ref.pool(t)
+        t = ref.relu(ref.conv4a(t))
+        t = ref.relu(ref.conv4b(t))
+        cpa = ref.relu(ref.convPa(t))
+        scores_t = torch.softmax(ref.convPb(cpa), 1)[:, :-1]
+        b, _, hc, wc = scores_t.shape
+        scores_t = scores_t.permute(0, 2, 3, 1).reshape(b, hc, wc, 8, 8)
+        scores_t = scores_t.permute(0, 1, 3, 2, 4).reshape(b, hc * 8, wc * 8)
+        cda = ref.relu(ref.convDa(t))
+        desc_t = ref.convDb(cda)
+        desc_t = torch.nn.functional.normalize(desc_t, p=2, dim=1)
+
+    scores_j, desc_j = sp.dense_heads(
+        params, img.transpose(0, 2, 3, 1))
+    np.testing.assert_allclose(
+        np.asarray(scores_j), scores_t.numpy(), atol=2e-5)
+    np.testing.assert_allclose(
+        np.asarray(desc_j), desc_t.numpy().transpose(0, 2, 3, 1), atol=2e-5)
+
+
+def test_nms_parity(models):
+    _, _, _, sp = models
+    from ref_loader import load_ref_superpoint  # module already imported
+    import ref_superpoint
+
+    rng = np.random.default_rng(1)
+    scores = rng.uniform(0, 1, (2, 48, 48)).astype(np.float32)
+    ref_out = ref_superpoint.simple_nms(torch.from_numpy(scores), 4).numpy()
+    jax_out = np.asarray(sp.simple_nms(scores, 4))
+    np.testing.assert_allclose(jax_out, ref_out, atol=1e-7)
+
+
+def test_keypoint_set_parity(models):
+    ref, params, config, sp = models
+    rng = np.random.default_rng(2)
+    img = _rand_image(rng, 64, 64)
+
+    # The reference picks grid_sample align_corners by parsing
+    # torch.__version__[2] (superpoint.py:87), which selects True under its
+    # pinned torch 1.8 but False under modern torch. Pin the reference
+    # behavior (align_corners=True) for the comparison.
+    import unittest.mock
+    real_grid_sample = torch.nn.functional.grid_sample
+
+    def pinned_grid_sample(inp, grid, mode="bilinear", **kwargs):
+        return real_grid_sample(inp, grid, mode=mode, align_corners=True)
+
+    with torch.no_grad(), unittest.mock.patch.object(
+            torch.nn.functional, "grid_sample", pinned_grid_sample):
+        out_ref = ref(torch.from_numpy(img))
+    kpts_ref = out_ref["keypoints"][0].numpy()       # [M, 2] (x, y)
+    scores_ref = out_ref["scores"][0].numpy()
+    desc_ref = out_ref["descriptors"][0].numpy().T   # [M, 256]
+
+    out = sp.extract(params, img.transpose(0, 2, 3, 1),
+                     {"max_keypoints": 256})
+    mask = np.asarray(out.mask[0])
+    kpts = np.asarray(out.keypoints[0])[mask]
+    scores = np.asarray(out.scores[0])[mask]
+    desc = np.asarray(out.descriptors[0])[mask]
+
+    assert kpts.shape[0] == kpts_ref.shape[0], (
+        f"{kpts.shape[0]} vs {kpts_ref.shape[0]} keypoints")
+
+    # Compare as sets (ordering differs: nonzero-scan vs top-k).
+    order_ref = np.lexsort((kpts_ref[:, 0], kpts_ref[:, 1]))
+    order = np.lexsort((kpts[:, 0], kpts[:, 1]))
+    np.testing.assert_array_equal(kpts[order], kpts_ref[order_ref])
+    np.testing.assert_allclose(
+        scores[order], scores_ref[order_ref], atol=1e-6)
+    np.testing.assert_allclose(
+        desc[order], desc_ref[order_ref], atol=2e-5)
+
+
+def test_topk_budget_truncates(models):
+    ref, params, config, sp = models
+    rng = np.random.default_rng(3)
+    img = _rand_image(rng, 64, 64)
+    out = sp.extract(params, img.transpose(0, 2, 3, 1),
+                     {"max_keypoints": 8})
+    mask = np.asarray(out.mask[0])
+    assert mask.sum() <= 8
+    # top-8 must be the highest-scoring of the full extraction
+    full = sp.extract(params, img.transpose(0, 2, 3, 1),
+                      {"max_keypoints": 256})
+    full_scores = np.sort(
+        np.asarray(full.scores[0])[np.asarray(full.mask[0])])[::-1]
+    got = np.sort(np.asarray(out.scores[0])[mask])[::-1]
+    np.testing.assert_allclose(got, full_scores[: mask.sum()], atol=1e-7)
