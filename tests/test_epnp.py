@@ -1,0 +1,152 @@
+"""On-device RANSAC-EPnP: accuracy vs ground truth and vs cv2.solvePnPRansac
+(the reference's host-side solver, eval_utils.py:18-42)."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from onepose_tpu.ops import epnp, lie
+from onepose_tpu.utils import geometry as geo
+
+
+def make_scene(rng, n=200, noise_px=0.5, outlier_frac=0.0,
+               n_valid=None, h=512, w=512):
+    K = np.array([[460.0, 0, w / 2], [0, 460.0, h / 2], [0, 0, 1]])
+    # object points in a 20cm box
+    pts3d = rng.uniform(-0.1, 0.1, (n, 3))
+    rvec = rng.normal(size=3) * 0.6
+    R = geo.rodrigues(rvec)
+    t = np.array([0.02, -0.03, 0.45]) + rng.normal(size=3) * 0.02
+    pose_gt = np.concatenate([R, t[:, None]], axis=1)
+    uv = geo.project_points(pts3d, K, pose_gt)
+    uv += rng.normal(size=uv.shape) * noise_px
+
+    n_out = int(n * outlier_frac)
+    if n_out:
+        out_idx = rng.choice(n, n_out, replace=False)
+        uv[out_idx] = rng.uniform(0, [w, h], (n_out, 2))
+
+    mask = np.zeros(n, bool)
+    mask[: n_valid if n_valid is not None else n] = True
+    return K, pts3d.astype(np.float32), uv.astype(np.float32), pose_gt, mask
+
+
+def run_pnp(K, pts3d, uv, mask, seed=0, **kw):
+    res = epnp.ransac_pnp(
+        jax.random.PRNGKey(seed), jnp.asarray(uv), jnp.asarray(pts3d),
+        jnp.asarray(mask), jnp.asarray(K), **kw)
+    return jax.tree.map(np.asarray, res)
+
+
+def test_epnp_exact_recovery():
+    rng = np.random.default_rng(0)
+    K, pts3d, uv, pose_gt, mask = make_scene(rng, n=64, noise_px=0.0)
+    res = run_pnp(K, pts3d, uv, mask)
+    assert res.success
+    r_err, t_err = geo.query_pose_error(res.pose, pose_gt)
+    assert r_err < 0.05, r_err
+    assert t_err < 0.05, t_err  # cm
+    assert res.num_inliers == 64
+
+
+def test_epnp_noise_robustness():
+    rng = np.random.default_rng(1)
+    K, pts3d, uv, pose_gt, mask = make_scene(rng, n=200, noise_px=1.0)
+    res = run_pnp(K, pts3d, uv, mask)
+    r_err, t_err = geo.query_pose_error(res.pose, pose_gt)
+    assert r_err < 0.5, r_err
+    assert t_err < 0.5, t_err
+
+
+def test_epnp_outlier_rejection():
+    rng = np.random.default_rng(2)
+    K, pts3d, uv, pose_gt, mask = make_scene(
+        rng, n=200, noise_px=0.5, outlier_frac=0.4)
+    res = run_pnp(K, pts3d, uv, mask)
+    r_err, t_err = geo.query_pose_error(res.pose, pose_gt)
+    assert r_err < 0.5, r_err
+    assert t_err < 0.5, t_err
+    # inliers should be ~ the 60% clean correspondences
+    assert res.num_inliers >= 0.5 * 200
+
+
+def test_epnp_masked_padding():
+    """Padded (invalid) slots must not influence the solution."""
+    rng = np.random.default_rng(3)
+    K, pts3d, uv, pose_gt, mask = make_scene(
+        rng, n=256, noise_px=0.5, n_valid=100)
+    # fill padded slots with garbage
+    uv[100:] = rng.uniform(0, 512, (156, 2))
+    pts3d[100:] = rng.normal(size=(156, 3))
+    res = run_pnp(K, pts3d, uv, mask)
+    r_err, t_err = geo.query_pose_error(res.pose, pose_gt)
+    assert r_err < 0.5 and t_err < 0.5
+    assert not res.inliers[100:].any()
+
+
+def test_epnp_too_few_points():
+    rng = np.random.default_rng(4)
+    K, pts3d, uv, pose_gt, mask = make_scene(rng, n=16, n_valid=3)
+    res = run_pnp(K, pts3d, uv, mask)
+    assert not res.success
+    np.testing.assert_array_equal(res.pose, np.eye(3, 4))
+
+
+def test_vs_cv2_statistical():
+    """Accuracy must match-or-beat cv2.solvePnPRansac(EPnP) on repeated
+    noisy/outlier-contaminated scenes."""
+    cv2 = pytest.importorskip("cv2")
+    rng = np.random.default_rng(5)
+    ours_err, cv_err = [], []
+    for trial in range(10):
+        K, pts3d, uv, pose_gt, mask = make_scene(
+            rng, n=150, noise_px=1.0, outlier_frac=0.3)
+        res = run_pnp(K, pts3d, uv, mask, seed=trial)
+        r_o, t_o = geo.query_pose_error(res.pose, pose_gt)
+        ours_err.append(r_o + t_o)
+
+        ok, rvec, tvec, _ = cv2.solvePnPRansac(
+            pts3d.astype(np.float64), uv.astype(np.float64), K,
+            np.zeros((8, 1)), reprojectionError=5, iterationsCount=10000,
+            flags=cv2.SOLVEPNP_EPNP)
+        R = cv2.Rodrigues(rvec)[0]
+        pose_cv = np.concatenate([R, tvec], axis=1)
+        r_c, t_c = geo.query_pose_error(pose_cv, pose_gt)
+        cv_err.append(r_c + t_c)
+
+    ours = np.median(ours_err)
+    ref = np.median(cv_err)
+    assert ours <= ref * 1.5 + 0.05, (ours, ref, ours_err, cv_err)
+
+
+def test_gauss_newton_improves():
+    rng = np.random.default_rng(6)
+    K, pts3d, uv, pose_gt, mask = make_scene(rng, n=100, noise_px=0.3)
+    fx, fy = K[0, 0], K[1, 1]
+    cx, cy = K[0, 2], K[1, 2]
+    uv_norm = np.stack([(uv[:, 0] - cx) / fx, (uv[:, 1] - cy) / fy], axis=1)
+
+    # perturb GT pose, then refine
+    pose0 = pose_gt.copy()
+    pose0[:3, :3] = geo.rodrigues([0.02, -0.01, 0.015]) @ pose0[:3, :3]
+    pose0[:3, 3] += [0.004, -0.003, 0.006]
+    refined = np.asarray(epnp.gauss_newton_refine(
+        jnp.asarray(pose0, dtype=jnp.float32), jnp.asarray(pts3d),
+        jnp.asarray(uv_norm, dtype=jnp.float32),
+        jnp.ones(100, jnp.float32), iters=8))
+    r0, t0 = geo.query_pose_error(pose0, pose_gt)
+    r1, t1 = geo.query_pose_error(refined, pose_gt)
+    assert r1 < r0 * 0.3
+    assert t1 < t0 * 0.3
+
+
+def test_lie_roundtrip():
+    rng = np.random.default_rng(7)
+    w = rng.normal(size=(16, 3)).astype(np.float32)
+    R = np.asarray(lie.so3_exp(jnp.asarray(w)))
+    w2 = np.asarray(lie.so3_log(jnp.asarray(R)))
+    # same rotation (allow angle wrap for |w| > pi)
+    for i in range(16):
+        R2 = geo.rodrigues(w2[i])
+        np.testing.assert_allclose(R[i], R2, atol=1e-5)
