@@ -1,0 +1,162 @@
+"""Feature-matching 2D object detector.
+
+Capability match for the reference ``LocalFeatureObjectDetector``
+(/root/reference/src/local_feature_2D_detector/local_feature_2D_detector.py):
+detect the object in a full query frame by SuperGlue-matching it against
+``n_ref_view`` database views, estimate a similarity transform per view, warp
+the DB image corners into the query to get a bounding box, keep the box with
+the most inliers; or project the 3D box with the previous pose.
+
+TPU-first redesign: the reference loops 15 sequential SuperGlue forwards per
+frame (match_worker, :77-133) with host round-trips; here all views are
+matched in ONE batched jitted forward (views = batch dim), and the per-view
+similarity RANSAC is vmapped on device. Host does image IO + final crop only.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from onepose_tpu.models import superglue, superpoint
+from onepose_tpu.ops import similarity
+from onepose_tpu.utils import geometry as geo
+
+
+class DetectResult(NamedTuple):
+    bbox: np.ndarray        # [4] x0, y0, x1, y1 (int)
+    crop: np.ndarray        # [crop_size, crop_size] float32 in [0, 1]
+    K_crop: np.ndarray      # [3, 3]
+    inliers: int
+
+
+def crop_img_by_bbox(image: np.ndarray, bbox, K: Optional[np.ndarray],
+                     crop_size: int = 512):
+    """Two-stage crop+resize with intrinsics update (reference semantics,
+    local_feature_2D_detector.py:160-186): crop to the box at native
+    resolution, then resize to crop_size x crop_size."""
+    x0, y0, x1, y1 = [int(v) for v in bbox]
+    resize_shape = np.array([y1 - y0, x1 - x0])
+    K_crop = None
+    if K is not None:
+        K_crop, _ = geo.get_K_crop_resize(bbox, K, resize_shape)
+    image_crop, _ = geo.get_image_crop_resize(image, bbox, resize_shape)
+
+    bbox_new = np.array([0, 0, x1 - x0, y1 - y0])
+    resize_shape = np.array([crop_size, crop_size])
+    if K is not None:
+        K_crop, _ = geo.get_K_crop_resize(bbox_new, K_crop, resize_shape)
+    image_crop, _ = geo.get_image_crop_resize(
+        image_crop, bbox_new, resize_shape)
+    return image_crop, K_crop
+
+
+class LocalFeatureObjectDetector:
+    """Holds n_ref_view database-view features on device; detects per query
+    frame with one batched SuperGlue forward + vmapped similarity RANSAC."""
+
+    def __init__(self, sp_params, sg_params,
+                 db_images: Sequence[np.ndarray],
+                 sp_config: Optional[dict] = None,
+                 sg_config: Optional[dict] = None,
+                 max_keypoints: int = 1024):
+        """db_images: list of grayscale [H, W] float arrays in [0, 1]
+        (the sampled reference views)."""
+        self.sp_params = sp_params
+        self.sg_params = sg_params
+        self.sp_config = dict(superpoint.DEFAULT_CONFIG)
+        self.sp_config.update(sp_config or {})
+        self.sp_config["max_keypoints"] = max_keypoints
+        self.sg_config = dict(superglue.DEFAULT_CONFIG)
+        self.sg_config.update(sg_config or {})
+
+        db_stack = np.stack(
+            [np.asarray(im, np.float32) for im in db_images])[..., None]
+        self.db_shape = db_stack.shape[1:3]  # (H, W)
+        self.db_det = superpoint.extract(
+            self.sp_params, jnp.asarray(db_stack), self.sp_config)
+        self.n_views = db_stack.shape[0]
+
+    # ------------------------------------------------------------------
+    def detect_bbox(self, query_img: np.ndarray, key=None):
+        """query_img: [H, W] grayscale in [0, 1] → (bbox [4], inliers)."""
+        if key is None:
+            key = jax.random.PRNGKey(0)
+        qh, qw = query_img.shape[:2]
+        q_det = superpoint.extract(
+            self.sp_params,
+            jnp.asarray(query_img, jnp.float32)[None, :, :, None],
+            self.sp_config)
+
+        v = self.n_views
+        k = q_det.keypoints.shape[1]
+        data = {
+            "keypoints0": self.db_det.keypoints,
+            "scores0": self.db_det.scores,
+            "descriptors0": self.db_det.descriptors,
+            "mask0": self.db_det.mask,
+            "keypoints1": jnp.broadcast_to(q_det.keypoints, (v, k, 2)),
+            "scores1": jnp.broadcast_to(q_det.scores, (v, k)),
+            "descriptors1": jnp.broadcast_to(
+                q_det.descriptors, (v, k, q_det.descriptors.shape[-1])),
+            "mask1": jnp.broadcast_to(q_det.mask, (v, k)),
+            "shape0": (int(self.db_shape[0]), int(self.db_shape[1])),
+            "shape1": (int(qh), int(qw)),
+        }
+        match = superglue.match(self.sg_params, data, self.sg_config)
+
+        # Per-view similarity RANSAC on (db kpt → query kpt) matches.
+        def view_fit(db_kpts, m0, q_kpts, subkey):
+            valid = m0 >= 0
+            dst = q_kpts[jnp.clip(m0, 0)]
+            return similarity.ransac_similarity(
+                subkey, db_kpts, dst, valid, threshold=6.0)
+
+        keys = jax.random.split(key, v)
+        fits = jax.vmap(view_fit, in_axes=(0, 0, None, 0))(
+            self.db_det.keypoints, match.matches0, q_det.keypoints[0], keys)
+
+        counts = np.asarray(fits.num_inliers)
+        best = int(np.argmax(counts))
+        if counts[best] < 6:
+            # reference fallback: whole-frame box when matching fails
+            return np.array([0, 0, qw, qh], np.int32), 0
+
+        A = np.asarray(fits.A[best])
+        t = np.asarray(fits.t[best])
+        h, w = self.db_shape
+        corners = np.array(
+            [[0, 0], [w, 0], [0, h], [w, h]], np.float32)
+        warped = corners @ A.T + t
+        x0, y0 = np.floor(warped.min(axis=0)).astype(np.int32)
+        x1, y1 = np.ceil(warped.max(axis=0)).astype(np.int32)
+        return np.array([x0, y0, x1, y1], np.int32), int(counts[best])
+
+    # ------------------------------------------------------------------
+    def detect(self, query_img: np.ndarray, K: np.ndarray,
+               crop_size: int = 512, key=None) -> DetectResult:
+        """Full-frame detection → 512x512 crop + updated intrinsics."""
+        bbox, inliers = self.detect_bbox(query_img, key)
+        img_u8 = (np.asarray(query_img, np.float32) * 255.0)
+        crop, K_crop = crop_img_by_bbox(img_u8, bbox, K, crop_size)
+        return DetectResult(bbox, crop.astype(np.float32) / 255.0,
+                            K_crop, inliers)
+
+    # ------------------------------------------------------------------
+    def previous_pose_detect(self, query_img: np.ndarray, K: np.ndarray,
+                             pre_pose: np.ndarray,
+                             bbox3d_corners: np.ndarray,
+                             crop_size: int = 512) -> DetectResult:
+        """Track-by-projection: project the 8 3D box corners with the last
+        pose, crop around their 2D bounds (reference :232-258)."""
+        proj = geo.project_points(np.asarray(bbox3d_corners), K,
+                                  np.asarray(pre_pose))
+        x0, y0 = np.floor(proj.min(axis=0)).astype(np.int32)
+        x1, y1 = np.ceil(proj.max(axis=0)).astype(np.int32)
+        bbox = np.array([x0, y0, x1, y1], np.int32)
+        img_u8 = (np.asarray(query_img, np.float32) * 255.0)
+        crop, K_crop = crop_img_by_bbox(img_u8, bbox, K, crop_size)
+        return DetectResult(bbox, crop.astype(np.float32) / 255.0,
+                            K_crop, -1)

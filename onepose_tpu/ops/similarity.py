@@ -1,0 +1,92 @@
+"""On-device RANSAC estimation of a 2D similarity transform (uniform scale +
+rotation + translation), replacing the reference's host-side
+``cv2.estimateAffinePartial2D`` (local_feature_2D_detector.py:103-105).
+
+Static shapes: correspondences come as fixed-size arrays with a validity
+mask; hypotheses are 2-point minimal solves evaluated in parallel, the winner
+is refit on its inliers with a weighted closed-form (Umeyama) solve.
+
+Parameterization: x' = A x + t with A = [[a, -b], [b, a]] (s, theta folded
+into (a, b)); real arithmetic only (TPU-friendly).
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+class SimilarityResult(NamedTuple):
+    A: jnp.ndarray            # [2, 2] rotation-scale
+    t: jnp.ndarray            # [2]
+    inliers: jnp.ndarray      # [N] bool
+    num_inliers: jnp.ndarray  # int32
+    success: jnp.ndarray      # bool
+
+
+def _solve_two_point(p: jnp.ndarray, q: jnp.ndarray):
+    """Exact similarity from two correspondences p[2,2] → q[2,2]."""
+    dp = p[1] - p[0]
+    dq = q[1] - q[0]
+    denom = dp[0] * dp[0] + dp[1] * dp[1] + 1e-12
+    # complex division (dq / dp) in real arithmetic
+    a = (dq[0] * dp[0] + dq[1] * dp[1]) / denom
+    b = (dq[1] * dp[0] - dq[0] * dp[1]) / denom
+    A = jnp.array([[a, -b], [b, a]])
+    t = q[0] - A @ p[0]
+    return A, t
+
+
+def _solve_weighted(p: jnp.ndarray, q: jnp.ndarray, w: jnp.ndarray):
+    """Weighted least-squares similarity (Umeyama, 4-DoF) p → q."""
+    wsum = jnp.sum(w) + 1e-12
+    pm = jnp.sum(p * w[:, None], axis=0) / wsum
+    qm = jnp.sum(q * w[:, None], axis=0) / wsum
+    pc = p - pm
+    qc = q - qm
+    denom = jnp.sum(w * jnp.sum(pc * pc, axis=1)) + 1e-12
+    a = jnp.sum(w * (qc[:, 0] * pc[:, 0] + qc[:, 1] * pc[:, 1])) / denom
+    b = jnp.sum(w * (qc[:, 1] * pc[:, 0] - qc[:, 0] * pc[:, 1])) / denom
+    A = jnp.array([[a, -b], [b, a]])
+    t = qm - A @ pm
+    return A, t
+
+
+@functools.partial(jax.jit, static_argnames=("num_hypotheses",))
+def ransac_similarity(key: jax.Array, src: jnp.ndarray, dst: jnp.ndarray,
+                      mask: jnp.ndarray, threshold: float = 6.0,
+                      num_hypotheses: int = 256) -> SimilarityResult:
+    """src, dst: [N, 2]; mask: [N] bool. Inlier: ||A src + t - dst|| <
+    ``threshold`` pixels (the reference uses 6)."""
+    src = src.astype(jnp.float32)
+    dst = dst.astype(jnp.float32)
+    n = src.shape[0]
+
+    noise = jax.random.uniform(key, (num_hypotheses, n))
+    scored = jnp.where(mask[None, :], noise, -1.0)
+    _, idx = jax.lax.top_k(scored, 2)  # [H, 2] distinct valid indices
+
+    def hypothesis(pair_idx):
+        A, t = _solve_two_point(src[pair_idx], dst[pair_idx])
+        resid = src @ A.T + t - dst
+        err = jnp.sqrt(jnp.sum(resid * resid, axis=1))
+        good = (err < threshold) & mask
+        return good, jnp.sum(good)
+
+    inlier_masks, counts = jax.vmap(hypothesis)(idx)
+    best = jnp.argmax(counts)
+    w = inlier_masks[best].astype(jnp.float32)
+
+    A, t = _solve_weighted(src, dst, w + 1e-9)
+    resid = src @ A.T + t - dst
+    err = jnp.sqrt(jnp.sum(resid * resid, axis=1))
+    inliers = (err < threshold) & mask
+    count = jnp.sum(inliers)
+
+    n_valid = jnp.sum(mask)
+    success = (n_valid >= 2) & (count >= 2)
+    return SimilarityResult(A, t, inliers & success,
+                            jnp.where(success, count, 0).astype(jnp.int32),
+                            success)
