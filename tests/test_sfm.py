@@ -1,0 +1,262 @@
+"""SfM pipeline: synthetic-scene end-to-end (verification → tracks → DLT →
+model IO → postprocess artifacts), colmap_io roundtrip, pair selection."""
+import os.path as osp
+
+import numpy as np
+import pytest
+
+from onepose_tpu.datasets import anno
+from onepose_tpu.sfm import pairs as pairs_mod, postprocess, triangulate
+from onepose_tpu.utils import colmap_io
+from onepose_tpu.utils import geometry as geo
+
+
+# ---------------------------------------------------------------------------
+# Synthetic multi-view scene
+# ---------------------------------------------------------------------------
+
+def make_scene(rng, n_points=40, n_cams=10, noise_px=0.3):
+    """3D points in a 20 cm box, cameras on a ring looking at the origin."""
+    pts3d = rng.uniform(-0.1, 0.1, (n_points, 3))
+    K = np.array([[500.0, 0, 256], [0, 500.0, 256], [0, 0, 1]])
+
+    poses = []
+    for i in range(n_cams):
+        theta = 2 * np.pi * i / n_cams
+        center = np.array(
+            [0.6 * np.cos(theta), 0.6 * np.sin(theta), 0.3])
+        z = -center / np.linalg.norm(center)  # look at origin
+        up = np.array([0.0, 0.0, 1.0])
+        x = np.cross(z, up)
+        x /= np.linalg.norm(x)
+        y = np.cross(z, x)
+        R = np.stack([x, y, z])  # world→camera rows
+        t = -R @ center
+        poses.append(np.concatenate([R, t[:, None]], axis=1))
+
+    # per-camera keypoints: project all points, shuffle order per image
+    uvs, perms = [], []
+    for pose in poses:
+        uv = geo.project_points(pts3d, K, pose)
+        uv = uv + rng.normal(size=uv.shape) * noise_px
+        perm = rng.permutation(n_points)
+        uvs.append(uv[perm].astype(np.float32))
+        perms.append(perm)
+    return pts3d, K, poses, uvs, perms
+
+
+def write_fixture_h5(tmp_path, rng, pts3d, K, poses, uvs, perms,
+                     outlier_matches=3):
+    """Features + pairwise matches HDF5 in the pipeline's format, with
+    distinctive per-3D-point descriptors and some outlier matches."""
+    import h5py
+
+    from onepose_tpu.sfm.match import names_to_pair
+
+    n_cams = len(poses)
+    n_points = len(pts3d)
+    dim = 32
+    point_desc = rng.normal(size=(n_points, dim)).astype(np.float32)
+    point_desc /= np.linalg.norm(point_desc, axis=1, keepdims=True)
+
+    names = [f"/data/seq/color/{i}.png" for i in range(n_cams)]
+    feature_path = str(tmp_path / "feats.h5")
+    with h5py.File(feature_path, "w") as f:
+        for ci, name in enumerate(names):
+            g = f.create_group(name)
+            g.create_dataset("keypoints", data=uvs[ci])
+            g.create_dataset(
+                "descriptors", data=point_desc[perms[ci]].T)
+            g.create_dataset(
+                "scores", data=np.full(n_points, 0.5, np.float32))
+            g.create_dataset("image_size", data=np.array([512, 512]))
+
+    pair_list = []
+    match_path = str(tmp_path / "matches.h5")
+    with h5py.File(match_path, "w") as f:
+        for i in range(n_cams):
+            for j in range(i + 1, n_cams):
+                pair_list.append((names[i], names[j]))
+                # GT matches: kpt a of img i ↔ kpt b of img j iff same point
+                inv_j = np.argsort(perms[j])
+                matches0 = inv_j[perms[i]].astype(np.int64)
+                # corrupt a few entries with wrong targets
+                for _ in range(outlier_matches):
+                    a = rng.integers(n_points)
+                    matches0[a] = rng.integers(n_points)
+                g = f.create_group(names_to_pair(names[i], names[j]))
+                g.create_dataset("matches0", data=matches0)
+                g.create_dataset(
+                    "matching_scores0",
+                    data=np.full(n_points, 0.9, np.float32))
+    Ks = {n: K for n in names}
+    poses_d = {n: p for n, p in zip(names, poses)}
+    sizes = {n: (512, 512) for n in names}
+    return names, feature_path, match_path, pair_list, Ks, poses_d, sizes
+
+
+def test_sfm_end_to_end(tmp_path):
+    rng = np.random.default_rng(0)
+    pts3d, K, poses, uvs, perms = make_scene(rng)
+    names, feat_p, match_p, pair_list, Ks, poses_d, sizes = \
+        write_fixture_h5(tmp_path, rng, pts3d, K, poses, uvs, perms)
+
+    model_dir = str(tmp_path / "sfm_ws" / "model")
+    stats = triangulate.triangulate_from_h5(
+        feat_p, match_p, pair_list, Ks, poses_d, sizes, model_dir,
+        verbose=False)
+
+    assert stats["num_sparse_points"] >= 35  # most of the 40 points
+    assert stats["mean_reproj_error"] < 1.0
+    assert stats["mean_track_length"] > 5
+
+    # triangulated points must match the GT cloud
+    _, _, points3D = colmap_io.read_model(model_dir)
+    got = np.stack([p.xyz for p in points3D.values()])
+    # match each reconstructed point to nearest GT point
+    d = np.linalg.norm(got[:, None] - pts3d[None], axis=-1).min(axis=1)
+    assert np.median(d) < 2e-3, np.median(d)
+
+    # --- postprocess to annotation artifacts
+    anno_dir = str(tmp_path / "anno")
+    pp = postprocess.postprocess(
+        model_dir, feat_p, names, anno_dir, box_path=None,
+        max_num_points=2500)
+    assert pp["num_points"] >= 35
+
+    db = anno.load_object_db(
+        osp.join(anno_dir, "anno_3d_average.npz"),
+        osp.join(anno_dir, "anno_3d_collect.npz"),
+        osp.join(anno_dir, "idxs.npy"), num_leaf=4)
+    assert db.num_points == pp["num_points"]
+    # averaged descriptor of a clean point ≈ its GT point descriptor
+    # (all observations share the same descriptor in this fixture)
+    real = db.descriptors3d[db.mask3d]
+    norms = np.linalg.norm(real, axis=1)
+    assert np.all(norms > 0.5)  # averaged unit vectors stay near unit
+
+    # --- assign matrices: every listed match maps kpt→its own 3D point
+    import json
+
+    with open(osp.join(anno_dir, "anno_2d.json")) as f:
+        annotations = json.load(f)
+    assert len(annotations) == len(names)
+    a0 = json.load(open(annotations[0]["anno_file"]))
+    assign = np.asarray(a0["assign_matrix"])
+    assert assign.shape[0] == 2 and assign.shape[1] > 30
+    kp2d = np.asarray(a0["keypoints2d"])
+    xyz_new = db.keypoints3d[:db.num_points]
+    # reprojection consistency of the GT assignment
+    uv_proj = geo.project_points(
+        xyz_new[assign[1]], K, poses_d[annotations[0]["img_file"]])
+    err = np.linalg.norm(uv_proj - kp2d[assign[0]], axis=1)
+    assert np.median(err) < 1.5, np.median(err)
+
+
+def test_colmap_io_roundtrip(tmp_path):
+    rng = np.random.default_rng(1)
+    cameras = {
+        1: colmap_io.Camera(1, "PINHOLE", 640, 480,
+                            np.array([500.0, 501.0, 320.0, 240.0]))}
+    images = {
+        1: colmap_io.Image(
+            1, np.array([1.0, 0, 0, 0]), np.array([0.1, 0.2, 0.3]), 1,
+            "seq/color/0.png", rng.uniform(0, 640, (5, 2)),
+            np.array([1, -1, 2, -1, 1], np.int64)),
+        2: colmap_io.Image(
+            2, np.array([0.7, 0.7, 0, 0]), np.zeros(3), 1,
+            "seq/color/1.png", np.zeros((0, 2)), np.zeros(0, np.int64)),
+    }
+    points = {
+        1: colmap_io.Point3D(
+            1, np.array([0.1, 0.2, 0.3]), np.array([10, 20, 30], np.uint8),
+            0.5, np.array([1, 2], np.int32), np.array([0, 4], np.int32)),
+    }
+    d = str(tmp_path / "model")
+    colmap_io.write_model(cameras, images, points, d)
+    c2, i2, p2 = colmap_io.read_model(d)
+    assert c2[1].model == "PINHOLE"
+    np.testing.assert_allclose(c2[1].params, cameras[1].params)
+    assert i2[1].name == "seq/color/0.png"
+    np.testing.assert_allclose(i2[1].xys, images[1].xys)
+    np.testing.assert_array_equal(i2[1].point3D_ids, images[1].point3D_ids)
+    np.testing.assert_allclose(p2[1].xyz, points[1].xyz)
+    np.testing.assert_array_equal(p2[1].image_ids, points[1].image_ids)
+
+
+def test_reference_model_reader_compat(tmp_path):
+    """Our .bin files must be readable by the reference's bundled COLMAP
+    reader (format interchange guarantee)."""
+    import conftest
+    if not conftest.reference_available():
+        pytest.skip("reference not present")
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        "ref_rw", "/root/reference/src/utils/colmap/read_write_model.py")
+    ref_rw = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(ref_rw)
+
+    cameras = {1: colmap_io.Camera(1, "PINHOLE", 640, 480,
+                                   np.array([500.0, 500.0, 320.0, 240.0]))}
+    images = {1: colmap_io.Image(
+        1, np.array([1.0, 0, 0, 0]), np.array([0.0, 0.0, 1.0]), 1,
+        "a.png", np.array([[1.0, 2.0], [3.0, 4.0]]),
+        np.array([7, -1], np.int64))}
+    points = {7: colmap_io.Point3D(
+        7, np.array([0.0, 0.1, 0.2]), np.array([1, 2, 3], np.uint8), 0.1,
+        np.array([1], np.int32), np.array([0], np.int32))}
+    d = str(tmp_path / "model")
+    colmap_io.write_model(cameras, images, points, d)
+
+    ref_cams = ref_rw.read_cameras_binary(osp.join(d, "cameras.bin"))
+    ref_imgs = ref_rw.read_images_binary(osp.join(d, "images.bin"))
+    ref_pts = ref_rw.read_points3d_binary(osp.join(d, "points3D.bin"))
+    assert ref_cams[1].model == "PINHOLE"
+    assert ref_imgs[1].name == "a.png"
+    np.testing.assert_allclose(ref_imgs[1].xys, images[1].xys)
+    np.testing.assert_allclose(ref_pts[7].xyz, points[7].xyz)
+    np.testing.assert_array_equal(ref_pts[7].point2D_idxs, [0])
+
+
+def test_covis_pairs_selection():
+    rng = np.random.default_rng(2)
+    pts3d, K, poses, _, _ = make_scene(rng, n_cams=12)
+    Rs = np.stack([p[:3, :3] for p in poses])
+    ts = np.stack([p[:3, 3] for p in poses])
+    names = [f"/d/seqA/color/{i}.png" for i in range(12)]
+    pair_list = pairs_mod.covis_pairs(
+        names, num_matched=4, poses=(Rs, ts))
+    assert len(pair_list) > 0
+    for a, b in pair_list:
+        assert a != b
+    # neighbors on the ring should dominate (small rotation gaps excluded
+    # by the 10° minimum — adjacent ring cams differ by 30°)
+    idx = {n: i for i, n in enumerate(names)}
+    gaps = [min((idx[a] - idx[b]) % 12, (idx[b] - idx[a]) % 12)
+            for a, b in pair_list]
+    assert np.median(gaps) <= 3
+
+
+def test_box_filter():
+    corners = np.array([
+        [0, 0, 0], [0, 1, 0], [1, 1, 0], [1, 0, 0],
+        [0, 0, 1], [0, 1, 1], [1, 1, 1], [1, 0, 1],
+    ], float)
+    # box corner ordering: c4 at origin-ish; edges v45, v40, v47
+    pts = np.array([[0.5, 0.5, 0.5], [2.0, 0.5, 0.5], [-0.1, 0.5, 0.5]])
+    kept, ids = postprocess.filter_by_3d_box(
+        pts, np.arange(3), corners)
+    assert len(kept) == 1
+    np.testing.assert_allclose(kept[0], [0.5, 0.5, 0.5])
+
+
+def test_merge_points():
+    xyzs = np.array([
+        [0.0, 0, 0], [0.0005, 0, 0],  # cluster 1
+        [1.0, 0, 0],                   # alone
+    ])
+    merged, idxs = postprocess.merge_points(xyzs, np.array([10, 20, 30]))
+    assert len(merged) == 2
+    np.testing.assert_allclose(merged[0], [0.00025, 0, 0])
+    np.testing.assert_array_equal(sorted(idxs[0]), [10, 20])
+    np.testing.assert_array_equal(idxs[1], [30])
