@@ -1,0 +1,134 @@
+#!/usr/bin/env python
+"""Eval inference: frame→pose over test sequences with cmd1/3/5 metrics.
+
+Public-surface equivalent of the reference's ``inference.py``
+(/root/reference/inference.py): per (object, sequence), load the 3D
+descriptor DB + models, run every frame through the pipeline, evaluate
+against GT poses, and write per-sequence reports.
+
+TPU-native core: frames are processed in *batches* through one fused jit
+(SuperPoint → GATsSPG → on-device RANSAC-EPnP) — no per-frame host↔device
+round trips (the reference does four per frame, inference.py:132-155).
+
+    python inference.py +experiment=test_sample
+"""
+import glob
+import os.path as osp
+import sys
+
+import numpy as np
+
+
+def _read_list(path):
+    with open(path, "r") as f:
+        return [line.strip() for line in f if line.strip()]
+
+
+def inference_core(cfg, data_root, seq_dir, sfm_model_dir, sp_params,
+                   gats_params):
+    import jax
+
+    from onepose_tpu import pipeline
+    from onepose_tpu.datasets import anno
+    from onepose_tpu.evaluators import Evaluator, record_eval_result
+    from onepose_tpu.sfm.extract import load_gray
+    from onepose_tpu.utils import path_utils
+
+    anno_dir = path_utils.get_anno_dir(
+        sfm_model_dir, cfg.network.detection, cfg.network.matching)
+    db = anno.load_object_db(
+        osp.join(anno_dir, "anno_3d_average.npz"),
+        osp.join(anno_dir, "anno_3d_collect.npz"),
+        osp.join(anno_dir, "idxs.npy"),
+        num_leaf=cfg.num_leaf, shape3d=cfg.shape3d)
+
+    color_dir = ("color" if cfg.object_detect_mode == "GT_box"
+                 else "color_det")
+    img_lists = sorted(
+        glob.glob(osp.join(seq_dir, color_dir, "*.png")),
+        key=lambda p: int(osp.splitext(osp.basename(p))[0]))
+    if not img_lists:
+        print(f"[inference] no frames in {seq_dir}/{color_dir}")
+        return None
+
+    pipe = pipeline.PosePipeline(
+        sp_params, gats_params, db,
+        sp_config={"max_keypoints": cfg.max_keypoints},
+        reproj_threshold=cfg.pnp.reproj_threshold,
+        num_hypotheses=cfg.pnp.num_hypotheses,
+        refine_iters=cfg.pnp.refine_iters)
+
+    evaluator = Evaluator()
+    bs = cfg.batch_size
+    key = jax.random.PRNGKey(12345)
+
+    for start in range(0, len(img_lists), bs):
+        chunk = img_lists[start:start + bs]
+        images, Ks, gt_poses = [], [], []
+        for p in chunk:
+            images.append(load_gray(p))
+            Ks.append(np.loadtxt(path_utils.get_intrin_path_by_color(
+                p, cfg.object_detect_mode)))
+            gt_poses.append(np.loadtxt(
+                path_utils.get_gt_pose_path_by_color(
+                    p, cfg.object_detect_mode)))
+        # static batch shape: pad the tail chunk by repeating the last frame
+        n_real = len(images)
+        while len(images) < bs:
+            images.append(images[-1])
+            Ks.append(Ks[-1])
+        key, sub = jax.random.split(key)
+        keys = jax.random.split(sub, bs)
+        out = pipe(np.stack(images)[..., None],
+                   np.stack(Ks).astype(np.float32), keys)
+        poses = np.asarray(out.poses)
+        success = np.asarray(out.success)
+        for bi in range(n_real):
+            evaluator.evaluate(
+                poses[bi] if success[bi] else None, gt_poses[bi])
+
+    eval_result = evaluator.summarize()
+    obj_name = sfm_model_dir.rstrip("/").split("/")[-1]
+    seq_name = seq_dir.rstrip("/").split("/")[-1]
+    record_eval_result(cfg.output.eval_dir, obj_name, seq_name, eval_result)
+    return eval_result
+
+
+def inference(cfg):
+    from onepose_tpu.utils import model_io
+
+    gats_params = model_io.load_gats_params(cfg.model.onepose_model_path)
+    sp_params = model_io.load_superpoint_params(
+        cfg.model.extractor_model_path)
+
+    data_entries = _read_list(cfg.input.data_list)
+    sfm_entries = _read_list(cfg.input.sfm_list)
+    results = {}
+    for entry, sfm_name in zip(data_entries, sfm_entries):
+        parts = entry.split(" ")
+        obj_dir, seqs = parts[0], parts[1:]
+        data_root = osp.join(cfg.scan_data_dir, obj_dir)
+        sfm_model_dir = osp.join(cfg.sfm_model_dir, sfm_name)
+        for seq in seqs:
+            seq_dir = osp.join(data_root, seq)
+            print(f"[inference] eval {seq_dir}")
+            res = inference_core(cfg, data_root, seq_dir, sfm_model_dir,
+                                 sp_params, gats_params)
+            if res is not None:
+                results[f"{obj_dir}/{seq}"] = res
+    if results:
+        agg = {k: float(np.mean([r[k] for r in results.values()]))
+               for k in next(iter(results.values()))}
+        print(f"[inference] aggregate over {len(results)} seqs: {agg}")
+    return results
+
+
+def main():
+    from onepose_tpu.config import load_config
+
+    cfg = load_config(sys.argv[1:])
+    {"inference": inference}[cfg.type](cfg)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,178 @@
+#!/usr/bin/env python
+"""Train the GATsSPG matcher.
+
+Public-surface equivalent of the reference's ``train.py`` + Lightning module
+(/root/reference/train.py, src/models/GATsSPG_lightning_model.py): Adam +
+MultiStep LR, focal loss, gradient clipping/accumulation, per-epoch
+validation with pose metrics, epoch checkpoints.
+
+TPU-native: jitted data-parallel train step over the local device mesh
+(gradient psum inserted by XLA), orbax checkpoints, on-device val PnP.
+
+    python train.py +experiment=train_GATsSPG
+"""
+import json
+import os
+import os.path as osp
+import sys
+import time
+
+import numpy as np
+
+
+def train(cfg):
+    import jax
+
+    from onepose_tpu.datasets.gats_dataset import GATsSPGDataset
+    from onepose_tpu.parallel import mesh as pmesh
+    from onepose_tpu.train import trainer
+    from onepose_tpu.utils import model_io
+
+    n_devices = cfg.parallel.n_devices or len(jax.devices())
+    mesh = pmesh.make_mesh(n_devices)
+    print(f"[train] mesh: {mesh}")
+
+    gats_cfg = {
+        "descriptor_dim": cfg.model.descriptor_dim,
+        "scale_factor": cfg.model.scale_factor,
+        "match_threshold": cfg.model.match_threshold,
+        "include_self": cfg.model.include_self,
+        "additional": cfg.model.additional,
+        "with_linear_transform": cfg.model.with_linear_transform,
+    }
+
+    train_ds = GATsSPGDataset(
+        cfg.datamodule.train_anno_file, num_leaf=cfg.datamodule.num_leaf,
+        split="train", shape2d=cfg.datamodule.shape2d,
+        shape3d=cfg.datamodule.shape3d,
+        pad_val=cfg.datamodule.assign_pad_val, seed=cfg.seed)
+    steps_per_epoch = max(len(train_ds) // cfg.datamodule.batch_size, 1)
+
+    tx = trainer.make_optimizer(
+        base_lr=float(cfg.model.lr),
+        weight_decay=float(cfg.model.weight_decay),
+        milestones_steps=[m * steps_per_epoch for m in cfg.model.milestones],
+        gamma=cfg.model.gamma,
+        grad_clip=cfg.trainer.gradient_clip_val,
+        accumulate_steps=cfg.trainer.accumulate_grad_batches)
+    state = trainer.init_train_state(
+        jax.random.PRNGKey(cfg.seed), tx, gats_cfg)
+    state = pmesh.replicate(mesh, state)
+    step_fn = trainer.make_train_step(tx, gats_cfg)
+
+    os.makedirs(cfg.checkpoint.dirpath, exist_ok=True)
+    os.makedirs(cfg.logging.log_dir, exist_ok=True)
+    log_path = osp.join(cfg.logging.log_dir, "metrics.jsonl")
+    log_f = open(log_path, "a")
+
+    global_step = 0
+    for epoch in range(cfg.trainer.max_epochs):
+        t0 = time.time()
+        losses = []
+        for batch_np in train_ds.batches(
+                cfg.datamodule.batch_size, shuffle=True,
+                seed=cfg.seed + epoch):
+            batch = pmesh.shard_batch(mesh, {
+                "descriptors2d_query": batch_np["descriptors2d_query"],
+                "descriptors3d_db": batch_np["descriptors3d_db"],
+                "descriptors2d_db": batch_np["descriptors2d_db"],
+                "conf_gt": batch_np["conf_gt"],
+            })
+            state, loss = step_fn(state, batch)
+            global_step += 1
+            if global_step % cfg.trainer.log_every_n_steps == 0:
+                loss_val = float(loss)
+                losses.append(loss_val)
+                log_f.write(json.dumps(
+                    {"step": global_step, "epoch": epoch,
+                     "train_loss": loss_val}) + "\n")
+                log_f.flush()
+        epoch_loss = float(np.mean(losses)) if losses else float("nan")
+        print(f"[train] epoch {epoch}: loss={epoch_loss:.4f} "
+              f"({time.time() - t0:.1f}s, {global_step} steps)")
+
+        ckpt_path = osp.join(cfg.checkpoint.dirpath, f"epoch={epoch}")
+        model_io.save_train_state(
+            jax.tree.map(np.asarray, state), ckpt_path)
+        model_io.save_pytree(
+            jax.tree.map(np.asarray, state.params),
+            osp.join(cfg.checkpoint.dirpath, "last"))
+
+        val_metrics = validate(cfg, state.params, gats_cfg)
+        if val_metrics:
+            log_f.write(json.dumps(
+                {"epoch": epoch, **val_metrics}) + "\n")
+            log_f.flush()
+    log_f.close()
+    return state
+
+
+def validate(cfg, params, gats_cfg):
+    """Validation with live SuperPoint extraction + on-device PnP
+    (reference validation_step semantics)."""
+    import jax
+
+    from onepose_tpu import pipeline
+    from onepose_tpu.datasets.gats_dataset import GATsSPGDataset
+    from onepose_tpu.models import superpoint
+    from onepose_tpu.utils import geometry as geo, model_io
+
+    if not osp.exists(cfg.datamodule.val_anno_file):
+        print("[val] no val annotations; skipping")
+        return None
+    try:
+        sp_params = model_io.load_superpoint_params(
+            cfg.model.spp_model_path)
+    except FileNotFoundError:
+        print("[val] no SuperPoint weights; skipping")
+        return None
+
+    val_ds = GATsSPGDataset(
+        cfg.datamodule.val_anno_file, num_leaf=cfg.datamodule.num_leaf,
+        split="val", shape2d=cfg.datamodule.shape2d,
+        shape3d=cfg.datamodule.shape3d, load_pose_gt=True, seed=cfg.seed)
+
+    from onepose_tpu.datasets.anno import ObjectDB
+
+    R_errs, t_errs = [], []
+    key = jax.random.PRNGKey(0)
+    for i in range(len(val_ds)):
+        item = val_ds.get(i)
+        db = ObjectDB(
+            keypoints3d=item["keypoints3d"],
+            descriptors3d=item["descriptors3d_db"],
+            scores3d=np.zeros(len(item["keypoints3d"]), np.float32),
+            descriptors2d_db=item["descriptors2d_db"],
+            scores2d_db=np.zeros(
+                len(item["descriptors2d_db"]), np.float32),
+            mask3d=np.ones(len(item["keypoints3d"]), bool),
+            num_leaf=cfg.datamodule.num_leaf,
+            num_points=len(item["keypoints3d"]))
+        pipe = pipeline.PosePipeline(
+            sp_params, params, db,
+            sp_config={"max_keypoints": 1024})
+        img = item["image"][None, :, :, None]
+        key, sub = jax.random.split(key)
+        out = pipe(img, item["query_intrinsic"][None],
+                   jax.random.split(sub, 1))
+        if bool(np.asarray(out.success)[0]):
+            r, t = geo.query_pose_error(
+                np.asarray(out.poses)[0], item["query_pose_gt"])
+        else:
+            r, t = np.inf, np.inf
+        R_errs.append(r)
+        t_errs.append(t)
+    metrics = geo.aggregate_metrics({"R_errs": R_errs, "t_errs": t_errs})
+    print(f"[val] {metrics}")
+    return metrics
+
+
+def main():
+    from onepose_tpu.config import load_config
+
+    cfg = load_config(sys.argv[1:])
+    {"train": train}[cfg.type](cfg)
+
+
+if __name__ == "__main__":
+    main()
