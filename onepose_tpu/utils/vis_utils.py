@@ -1,0 +1,133 @@
+"""Visualization utilities: reprojection overlays, 3D box drawing, match
+plots, demo-video rendering.
+
+Capability match for the reference's vis_utils
+(/root/reference/src/utils/vis_utils.py): `reproj`, 3D/2D box rendering,
+match-pair figures, demo frame writer, video assembly. The wis3d interactive
+dump is gated on the optional dependency (not present in this image).
+"""
+from __future__ import annotations
+
+import os
+import os.path as osp
+from typing import Optional, Sequence
+
+import numpy as np
+
+# 12 edges of a box given the reference corner ordering (bottom 0-3, top 4-7)
+BOX_EDGES = [
+    (0, 1), (1, 2), (2, 3), (3, 0),
+    (4, 5), (5, 6), (6, 7), (7, 4),
+    (0, 4), (1, 5), (2, 6), (3, 7),
+]
+
+
+def reproj(K: np.ndarray, pose: np.ndarray, pts3d: np.ndarray) -> np.ndarray:
+    """Project [n,3] object points with 3x4/4x4 pose → [n,2] pixels."""
+    pose = np.asarray(pose, np.float64)
+    R, t = pose[:3, :3], pose[:3, 3]
+    cam = np.asarray(pts3d) @ R.T + t
+    uv = cam @ np.asarray(K).T
+    return uv[:, :2] / uv[:, 2:3]
+
+
+def draw_3d_box(image: np.ndarray, corners_2d: np.ndarray,
+                color=(0, 0, 255), thickness: int = 2) -> np.ndarray:
+    """Draw the projected 3D box wireframe on a BGR image (in place)."""
+    import cv2
+
+    c = np.asarray(corners_2d).astype(int)
+    for a, b in BOX_EDGES:
+        cv2.line(image, tuple(c[a]), tuple(c[b]), color, thickness)
+    return image
+
+
+def draw_2d_box(image: np.ndarray, bbox, color=(0, 255, 0),
+                thickness: int = 2) -> np.ndarray:
+    import cv2
+
+    x0, y0, x1, y1 = [int(v) for v in bbox]
+    cv2.rectangle(image, (x0, y0), (x1, y1), color, thickness)
+    return image
+
+
+def save_demo_image(pose_pred: np.ndarray, K: np.ndarray,
+                    image: np.ndarray, box3d_corners: np.ndarray,
+                    draw_box: bool, save_path: str) -> np.ndarray:
+    """Overlay the estimated 3D box on a frame and write it (reference
+    vis_utils.py:380-396 semantics)."""
+    import cv2
+
+    img = image.copy()
+    if img.ndim == 2:
+        img = cv2.cvtColor(img, cv2.COLOR_GRAY2BGR)
+    if draw_box and pose_pred is not None:
+        corners_2d = reproj(K, pose_pred, box3d_corners)
+        draw_3d_box(img, corners_2d)
+    os.makedirs(osp.dirname(save_path) or ".", exist_ok=True)
+    cv2.imwrite(save_path, img)
+    return img
+
+
+def draw_matches(img0: np.ndarray, kpts0: np.ndarray, img1: np.ndarray,
+                 kpts1: np.ndarray, confidence: Optional[np.ndarray] = None,
+                 save_path: Optional[str] = None) -> np.ndarray:
+    """Side-by-side match visualization with confidence-colored lines."""
+    import cv2
+
+    def to_bgr(im):
+        im = np.asarray(im)
+        if im.dtype != np.uint8:
+            im = (np.clip(im, 0, 1) * 255).astype(np.uint8)
+        if im.ndim == 2:
+            im = cv2.cvtColor(im, cv2.COLOR_GRAY2BGR)
+        return im
+
+    im0, im1 = to_bgr(img0), to_bgr(img1)
+    h = max(im0.shape[0], im1.shape[0])
+    canvas = np.zeros((h, im0.shape[1] + im1.shape[1], 3), np.uint8)
+    canvas[: im0.shape[0], : im0.shape[1]] = im0
+    canvas[: im1.shape[0], im0.shape[1]:] = im1
+    off = im0.shape[1]
+    conf = confidence if confidence is not None else np.ones(len(kpts0))
+    for (x0, y0), (x1, y1), c in zip(
+            np.asarray(kpts0), np.asarray(kpts1), conf):
+        col = (0, int(255 * float(c)), int(255 * (1 - float(c))))
+        cv2.line(canvas, (int(x0), int(y0)), (int(x1) + off, int(y1)),
+                 col, 1)
+    if save_path:
+        os.makedirs(osp.dirname(save_path) or ".", exist_ok=True)
+        cv2.imwrite(save_path, canvas)
+    return canvas
+
+
+def make_video(image_dir: str, output_path: str, fps: int = 24):
+    """Assemble numbered PNGs into an mp4 (reference vis_utils.py:435-449)."""
+    import cv2
+    import glob
+
+    frames = sorted(
+        glob.glob(osp.join(image_dir, "*.png")),
+        key=lambda p: int(osp.splitext(osp.basename(p))[0]))
+    if not frames:
+        return None
+    first = cv2.imread(frames[0])
+    h, w = first.shape[:2]
+    os.makedirs(osp.dirname(output_path) or ".", exist_ok=True)
+    writer = cv2.VideoWriter(
+        output_path, cv2.VideoWriter_fourcc(*"mp4v"), fps, (w, h))
+    for p in frames:
+        writer.write(cv2.imread(p))
+    writer.release()
+    return output_path
+
+
+def dump_wis3d(*args, **kwargs):  # pragma: no cover
+    """Interactive 3D dump — optional dependency, absent in this image."""
+    try:
+        import wis3d  # noqa: F401
+    except ImportError:
+        print("[vis] wis3d not available; skipping interactive dump")
+        return None
+    raise NotImplementedError(
+        "wis3d present but dump not implemented; use save_demo_image")
