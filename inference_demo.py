@@ -1,0 +1,130 @@
+#!/usr/bin/env python
+"""Demo video inference: full frames → detection → pose → rendered box.
+
+Public-surface equivalent of the reference's ``inference_demo.py``: frame 0
+(or after tracking loss, < 8 PnP inliers) detects the object with the
+feature-matching detector; subsequent frames crop by projecting the 3D box
+with the previous pose; each crop runs SuperPoint → GATsSPG → on-device
+RANSAC-EPnP; optionally a keyframe BA tracker refines the trajectory; every
+frame is rendered with the estimated 3D box and assembled into
+``demo_video.mp4``.
+
+    python inference_demo.py +experiment=test_demo data_root=<root> data_seq=<seq>
+"""
+import glob
+import os.path as osp
+import sys
+
+import numpy as np
+
+
+def inference_core(cfg):
+    import jax
+
+    from onepose_tpu import detector as detector_mod, pipeline
+    from onepose_tpu.datasets import anno
+    from onepose_tpu.models import superpoint
+    from onepose_tpu.sfm.extract import load_gray
+    from onepose_tpu.tracker import BATracker
+    from onepose_tpu.utils import geometry as geo, model_io, path_utils, \
+        vis_utils
+
+    gats_params = model_io.load_gats_params(cfg.model.onepose_model_path)
+    sp_params = model_io.load_superpoint_params(
+        cfg.model.extractor_model_path)
+    sg_params = model_io.load_superglue_params(
+        cfg.model.matching_model_path)
+
+    data_root = cfg.data_root
+    seq_dir = osp.join(data_root, cfg.data_seq)
+    obj_name = data_root.rstrip("/").split("/")[-1]
+    sfm_model_dir = osp.join(cfg.sfm_model_dir, obj_name)
+
+    anno_dir = path_utils.get_anno_dir(
+        sfm_model_dir, cfg.network.detection, cfg.network.matching)
+    db = anno.load_object_db(
+        osp.join(anno_dir, "anno_3d_average.npz"),
+        osp.join(anno_dir, "anno_3d_collect.npz"),
+        osp.join(anno_dir, "idxs.npy"),
+        num_leaf=cfg.num_leaf, shape3d=cfg.shape3d)
+    box3d = np.loadtxt(path_utils.get_3d_box_path(data_root))
+    K_full, _ = geo.get_K(path_utils.get_intrin_full_path(seq_dir))
+
+    import feature_matching_object_detector as fmod
+
+    db_paths = fmod.sample_ref_views(
+        sfm_model_dir, cfg.network.detection, cfg.network.matching,
+        cfg.n_ref_view)
+    det = detector_mod.LocalFeatureObjectDetector(
+        sp_params, sg_params, [load_gray(p) for p in db_paths],
+        max_keypoints=cfg.max_keypoints)
+
+    pipe = pipeline.PosePipeline(
+        sp_params, gats_params, db,
+        sp_config={"max_keypoints": cfg.max_keypoints},
+        reproj_threshold=cfg.pnp.reproj_threshold,
+        num_hypotheses=cfg.pnp.num_hypotheses,
+        refine_iters=cfg.pnp.refine_iters)
+
+    tracker = BATracker() if cfg.use_tracking else None
+    if cfg.use_tracking:
+        print("[demo] WARNING: BA tracking refinement is experimental")
+
+    frames = sorted(
+        glob.glob(osp.join(seq_dir, "color_full", "*.png")),
+        key=lambda p: int(osp.splitext(osp.basename(p))[0]))
+    key = jax.random.PRNGKey(12345)
+    pose_prev = None
+    frame_dir = osp.join(cfg.output.demo_dir, "frames")
+    import cv2
+
+    for fi, p in enumerate(frames):
+        full = load_gray(p)
+        if pose_prev is None:
+            res = det.detect(full, K_full)
+        else:
+            res = det.previous_pose_detect(full, K_full, pose_prev, box3d)
+
+        key, sub = jax.random.split(key)
+        out = pipe(res.crop[None, :, :, None], res.K_crop[None],
+                   jax.random.split(sub, 1))
+        success = bool(np.asarray(out.success)[0])
+        n_inliers = int(np.asarray(out.num_inliers)[0])
+        pose = np.asarray(out.poses)[0] if success else None
+
+        if tracker is not None and pose is not None:
+            kpts = np.asarray(out.keypoints2d)[0]
+            m0 = np.asarray(out.matches0)[0]
+            matched = np.where(m0 >= 0)[0]
+            if fi % 5 == 0 and len(matched) >= 8:
+                tracker.add_keyframe(
+                    res.crop, kpts, np.zeros((len(kpts), 1), np.float32),
+                    np.ones(len(kpts), bool), pose, res.K_crop,
+                    mkpts3d=db.keypoints3d[m0[matched]],
+                    kpt_indices=matched)
+
+        # fall back to full detection when PnP consensus is weak
+        pose_prev = pose if (success and n_inliers >= 8) else None
+
+        img_bgr = cv2.imread(p)
+        vis_utils.save_demo_image(
+            pose, K_full, img_bgr, box3d, draw_box=pose is not None,
+            save_path=osp.join(frame_dir, osp.basename(p)))
+        if fi % 20 == 0:
+            print(f"[demo] frame {fi}/{len(frames)} "
+                  f"inliers={n_inliers} success={success}")
+
+    video = vis_utils.make_video(
+        frame_dir, osp.join(cfg.output.demo_dir, "demo_video.mp4"))
+    print(f"[demo] wrote {video}")
+
+
+def main():
+    from onepose_tpu.config import load_config
+
+    cfg = load_config(sys.argv[1:])
+    {"inference_demo": inference_core}[cfg.type](cfg)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,336 @@
+"""Keyframe BA tracker.
+
+Capability match for the reference ``BATracker``
+(/root/reference/src/tracker/ba_tracker.py, 802 LoC, DeepLM C++/CUDA BA):
+video pose tracking that maintains a keyframe window, initializes each query
+pose from pyramidal LK flow (or constant-velocity motion prediction when flow
+fails), extends 2D-3D assignments by descriptor matching with reprojection
+gating, triangulates newly observed points, and refines the window with
+bundle adjustment.
+
+TPU-native redesign: every compute stage is a jitted static-shape kernel —
+LK flow (ops.lk_flow), mutual-NN matching (models.nn_matcher), RANSAC-EPnP
+(ops.epnp), windowed Schur-LM BA (ops.lm) — orchestrated by a small host
+state machine (the reference keeps the same split: Python state + native
+solvers).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from onepose_tpu.models.nn_matcher import mutual_nearest_neighbour
+from onepose_tpu.ops import epnp, lie, lk_flow, lm
+from onepose_tpu.utils.geometry import query_pose_error
+
+
+@dataclass
+class Frame:
+    image: np.ndarray            # [H, W] grayscale float in [0, 1]
+    keypoints: np.ndarray        # [K, 2]
+    descriptors: np.ndarray      # [K, D]
+    kpt_mask: np.ndarray         # [K] valid keypoints
+    pose: np.ndarray             # [3, 4] world(object)→camera
+    K: np.ndarray                # [3, 3]
+    point_ids: np.ndarray        # [K] global 3D point id, -1 = none
+    is_keyframe: bool = False
+
+
+class BATracker:
+    def __init__(self, win_size: int = 10, frame_interval: int = 5,
+                 update_threshold_cm: float = 10.0,
+                 update_threshold_deg: float = 10.0,
+                 reproj_gate_scale: float = 1.2,
+                 pnp_hypotheses: int = 256,
+                 ba_iterations: int = 8,
+                 max_obs: int = 4096,
+                 seed: int = 0):
+        self.win_size = win_size
+        self.frame_interval = frame_interval
+        self.update_threshold_cm = update_threshold_cm
+        self.update_threshold_deg = update_threshold_deg
+        self.reproj_gate_scale = reproj_gate_scale
+        self.pnp_hypotheses = pnp_hypotheses
+        self.ba_iterations = ba_iterations
+        self.max_obs = max_obs
+        self.key = jax.random.PRNGKey(seed)
+        self.reset()
+
+    def reset(self):
+        self.frames: List[Frame] = []
+        self.points3d = np.zeros((0, 3), np.float32)
+        self.point_fixed = np.zeros(0, bool)  # DB points stay fixed in BA
+        self.pose_history: List[np.ndarray] = []
+        self.frame_id = 0
+
+    # ------------------------------------------------------------------
+    def _next_key(self):
+        self.key, sub = jax.random.split(self.key)
+        return sub
+
+    def add_keyframe(self, image, keypoints, descriptors, kpt_mask, pose,
+                     K, mkpts3d_ids=None, mkpts3d=None,
+                     kpt_indices=None) -> bool:
+        """Register a keyframe with (optionally) known 2D-3D matches from
+        the GATsSPG stage: ``kpt_indices`` [M] keypoint slots matched to
+        DB points ``mkpts3d`` [M, 3]. Pose-jump gating as in the reference
+        (ba_tracker.py:128-145)."""
+        pose = np.asarray(pose, np.float64)
+        if self.pose_history:
+            r_err, t_err = query_pose_error(pose, self.pose_history[-1])
+            if (t_err > self.update_threshold_cm
+                    or r_err > self.update_threshold_deg):
+                return False
+
+        point_ids = np.full(len(keypoints), -1, np.int64)
+        if mkpts3d is not None and kpt_indices is not None:
+            start = len(self.points3d)
+            self.points3d = np.concatenate(
+                [self.points3d, np.asarray(mkpts3d, np.float32)])
+            self.point_fixed = np.concatenate(
+                [self.point_fixed, np.ones(len(mkpts3d), bool)])
+            point_ids[np.asarray(kpt_indices)] = start + np.arange(
+                len(mkpts3d))
+
+        frame = Frame(
+            image=np.asarray(image, np.float32),
+            keypoints=np.asarray(keypoints, np.float32),
+            descriptors=np.asarray(descriptors, np.float32),
+            kpt_mask=np.asarray(kpt_mask, bool),
+            pose=pose[:3, :4].astype(np.float32),
+            K=np.asarray(K, np.float32),
+            point_ids=point_ids, is_keyframe=True)
+        self.frames.append(frame)
+        self.pose_history.append(frame.pose)
+        self._prune_window()
+        return True
+
+    # ------------------------------------------------------------------
+    def motion_prediction(self) -> Optional[np.ndarray]:
+        """Constant-velocity pose extrapolation (ba_tracker.py:275-293)."""
+        if len(self.pose_history) < 2:
+            return self.pose_history[-1] if self.pose_history else None
+        p1 = self.pose_history[-2]
+        p2 = self.pose_history[-1]
+        dR = p2[:3, :3] @ p1[:3, :3].T
+        dt = p2[:3, 3] - dR @ p1[:3, 3]
+        R = dR @ p2[:3, :3]
+        t = dR @ p2[:3, 3] + dt
+        return np.concatenate([R, t[:, None]], axis=1).astype(np.float32)
+
+    def _pose_from_flow(self, query_image, K):
+        """LK-track the last keyframe's assigned keypoints into the query,
+        then PnP on the flowed 2D ↔ known 3D."""
+        kf = self.frames[-1]
+        has3d = (kf.point_ids >= 0) & kf.kpt_mask
+        if has3d.sum() < 8:
+            return None, None
+        idx = np.where(has3d)[0]
+        res = lk_flow.pyramid_lk(
+            jnp.asarray(kf.image), jnp.asarray(query_image),
+            jnp.asarray(kf.keypoints[idx]))
+        status = np.asarray(res.status)
+        if status.sum() < 8:
+            return None, None
+        flowed = np.asarray(res.points)
+        pts3d = self.points3d[kf.point_ids[idx]]
+        pnp = epnp.ransac_pnp(
+            self._next_key(), jnp.asarray(flowed), jnp.asarray(pts3d),
+            jnp.asarray(status), jnp.asarray(K, jnp.float32),
+            num_hypotheses=self.pnp_hypotheses)
+        if not bool(np.asarray(pnp.success)):
+            return None, None
+        return np.asarray(pnp.pose), int(np.asarray(pnp.num_inliers))
+
+    # ------------------------------------------------------------------
+    def track(self, query_image, keypoints, descriptors, kpt_mask, K):
+        """Track a query frame. Returns (pose [3,4] or None, info dict)."""
+        info: Dict = {"mode": None}
+        if not self.frames:
+            return None, info
+
+        pose_init, inl = self._pose_from_flow(query_image, K)
+        if pose_init is not None:
+            info["mode"] = "flow"
+            info["flow_inliers"] = inl
+        else:
+            pose_init = self.motion_prediction()
+            info["mode"] = "motion"
+        if pose_init is None:
+            return None, info
+
+        # Associate query keypoints to 3D via the last keyframe descriptors.
+        kf = self.frames[-1]
+        nn = mutual_nearest_neighbour(
+            jnp.asarray(kf.descriptors), jnp.asarray(descriptors),
+            mask0=jnp.asarray(kf.kpt_mask), mask1=jnp.asarray(kpt_mask),
+            distance_thresh=0.7)
+        m0 = np.asarray(nn.matches0)
+
+        point_ids = np.full(len(keypoints), -1, np.int64)
+        kf_has3d = kf.point_ids >= 0
+        matched = m0 >= 0
+        src = np.where(matched & kf_has3d)[0]
+        point_ids[m0[src]] = kf.point_ids[src]
+
+        # Reprojection gating (median * scale, ba_tracker.py:530-543).
+        assigned = np.where(point_ids >= 0)[0]
+        if len(assigned) >= 8:
+            pts3d = self.points3d[point_ids[assigned]]
+            proj = np.asarray(lie.project(
+                jnp.asarray(pose_init), jnp.asarray(K, jnp.float32),
+                jnp.asarray(pts3d)))
+            err = np.linalg.norm(proj - keypoints[assigned], axis=1)
+            gate = max(np.median(err) * self.reproj_gate_scale, 3.0)
+            bad = assigned[err > gate]
+            point_ids[bad] = -1
+
+        # PnP on the gated assignments for the refined query pose.
+        assigned = np.where(point_ids >= 0)[0]
+        if len(assigned) >= 8:
+            pnp = epnp.ransac_pnp(
+                self._next_key(),
+                jnp.asarray(keypoints[assigned]),
+                jnp.asarray(self.points3d[point_ids[assigned]]),
+                jnp.ones(len(assigned), bool),
+                jnp.asarray(K, jnp.float32),
+                num_hypotheses=self.pnp_hypotheses)
+            if bool(np.asarray(pnp.success)):
+                pose_init = np.asarray(pnp.pose)
+                info["pnp_inliers"] = int(np.asarray(pnp.num_inliers))
+
+        # Triangulate new points from unassigned KF↔query matches.
+        new_src = np.where(matched & ~kf_has3d & kf.kpt_mask)[0]
+        if len(new_src) >= 4:
+            self._triangulate_new(
+                kf, keypoints, m0, new_src, pose_init, K, point_ids)
+
+        query_frame = Frame(
+            image=np.asarray(query_image, np.float32),
+            keypoints=np.asarray(keypoints, np.float32),
+            descriptors=np.asarray(descriptors, np.float32),
+            kpt_mask=np.asarray(kpt_mask, bool),
+            pose=pose_init[:3, :4].astype(np.float32),
+            K=np.asarray(K, np.float32),
+            point_ids=point_ids)
+        self.frames.append(query_frame)
+        self._prune_window()
+
+        pose = self._window_ba()
+        self.pose_history.append(pose)
+        info["num_tracked"] = int((point_ids >= 0).sum())
+        self.frame_id += 1
+        return pose, info
+
+    # ------------------------------------------------------------------
+    def _triangulate_new(self, kf, q_kpts, m0, new_src, q_pose, K,
+                         point_ids):
+        """Two-view DLT for KF↔query matches without 3D, with
+        reprojection/depth culling (ba_tracker.py:546-584)."""
+        from onepose_tpu.sfm.triangulate import _triangulate_batch_host
+
+        n = len(new_src)
+        uvs = np.zeros((n, 2, 2), np.float32)
+        Ps = np.zeros((n, 2, 3, 4), np.float32)
+        P_kf = (kf.K @ kf.pose).astype(np.float32)
+        P_q = (np.asarray(K) @ q_pose[:3, :4]).astype(np.float32)
+        for i, s in enumerate(new_src):
+            uvs[i, 0] = kf.keypoints[s]
+            uvs[i, 1] = q_kpts[m0[s]]
+            Ps[i, 0] = P_kf
+            Ps[i, 1] = P_q
+        mask = np.ones((n, 2), bool)
+        xyz, err, z = _triangulate_batch_host(
+            jnp.asarray(uvs), jnp.asarray(Ps), jnp.asarray(mask))
+        xyz, err, z = np.asarray(xyz), np.asarray(err), np.asarray(z)
+        good = (err.max(axis=1) < 3.0) & (z.min(axis=1) > 0.01) \
+            & (z.max(axis=1) < 10.0)
+        if good.sum() == 0:
+            return
+        start = len(self.points3d)
+        self.points3d = np.concatenate(
+            [self.points3d, xyz[good].astype(np.float32)])
+        self.point_fixed = np.concatenate(
+            [self.point_fixed, np.zeros(int(good.sum()), bool)])
+        new_ids = start + np.arange(int(good.sum()))
+        gi = 0
+        for i, s in enumerate(new_src):
+            if good[i]:
+                kf.point_ids[s] = new_ids[gi]
+                point_ids[m0[s]] = new_ids[gi]
+                gi += 1
+
+    def _prune_window(self):
+        if len(self.frames) > self.win_size:
+            self.frames = self.frames[-self.win_size:]
+
+    # ------------------------------------------------------------------
+    def _window_ba(self) -> np.ndarray:
+        """Bundle-adjust the frame window (DB points fixed via a
+        strong-prior trick: they are excluded from the point update by
+        holding their observations in a fixed-point solve pass)."""
+        C = len(self.frames)
+        if C < 2:
+            return self.frames[-1].pose
+
+        obs_cam, obs_pt, obs_uv, obs_K = [], [], [], []
+        used_points: Dict[int, int] = {}
+        for ci, fr in enumerate(self.frames):
+            idx = np.where((fr.point_ids >= 0) & fr.kpt_mask)[0]
+            for s in idx:
+                pid = int(fr.point_ids[s])
+                if pid not in used_points:
+                    used_points[pid] = len(used_points)
+                obs_cam.append(ci)
+                obs_pt.append(used_points[pid])
+                obs_uv.append(fr.keypoints[s])
+                obs_K.append([fr.K[0, 0], fr.K[1, 1],
+                              fr.K[0, 2], fr.K[1, 2]])
+        O = len(obs_cam)
+        if O < 16:
+            return self.frames[-1].pose
+        if O > self.max_obs:
+            keep = np.linspace(0, O - 1, self.max_obs).astype(int)
+        else:
+            keep = np.arange(O)
+
+        pid_list = np.array(sorted(used_points, key=used_points.get))
+        points = self.points3d[pid_list]
+        cams = np.stack([
+            np.asarray(lm.pose_to_camera(fr.pose)) for fr in self.frames])
+
+        problem = lm.BAProblem(
+            cameras=jnp.asarray(cams),
+            points=jnp.asarray(points),
+            cam_idx=jnp.asarray(np.asarray(obs_cam)[keep], jnp.int32),
+            pt_idx=jnp.asarray(np.asarray(obs_pt)[keep], jnp.int32),
+            uv=jnp.asarray(np.asarray(obs_uv)[keep], jnp.float32),
+            K=jnp.asarray(np.asarray(obs_K)[keep], jnp.float32),
+            mask=jnp.ones(len(keep), bool))
+        # Stage 1: refine cameras holding all points fixed (DB anchors).
+        res = lm.solve_ba(problem, iterations=self.ba_iterations,
+                          fix_points=True, fix_first_camera=True)
+        cams_new = np.asarray(res.cameras)
+
+        # Stage 2: refine only the triangulated (non-DB) points.
+        free = ~self.point_fixed[pid_list]
+        if free.any():
+            res2 = lm.solve_ba(
+                lm.BAProblem(res.cameras, problem.points,
+                             problem.cam_idx, problem.pt_idx, problem.uv,
+                             problem.K, problem.mask),
+                iterations=max(self.ba_iterations // 2, 2),
+                fix_cameras=True)
+            pts_new = np.asarray(res2.points)
+            upd = pid_list[free]
+            self.points3d[upd] = pts_new[free]
+
+        for ci, fr in enumerate(self.frames):
+            fr.pose = np.asarray(
+                lm.camera_to_pose(jnp.asarray(cams_new[ci])))
+        return self.frames[-1].pose
