@@ -62,25 +62,31 @@ def inference_core(cfg, data_root, seq_dir, sfm_model_dir, sp_params,
     bs = cfg.batch_size
     key = jax.random.PRNGKey(12345)
 
-    for start in range(0, len(img_lists), bs):
-        chunk = img_lists[start:start + bs]
-        images, Ks, gt_poses = [], [], []
+    from onepose_tpu.runtime.loader import PrefetchLoader
+
+    def load_item(p):
+        return load_gray(p)[..., None]
+
+    loader = PrefetchLoader(img_lists, load_item, batch_size=bs, depth=2)
+    # Pipeline host IO against device compute: launch each batch, collect
+    # the previous one while the next loads.
+    pending = []
+    for images, chunk, n_real in loader:
+        Ks, gt_poses = [], []
         for p in chunk:
-            images.append(load_gray(p))
             Ks.append(np.loadtxt(path_utils.get_intrin_path_by_color(
                 p, cfg.object_detect_mode)))
             gt_poses.append(np.loadtxt(
                 path_utils.get_gt_pose_path_by_color(
                     p, cfg.object_detect_mode)))
-        # static batch shape: pad the tail chunk by repeating the last frame
-        n_real = len(images)
-        while len(images) < bs:
-            images.append(images[-1])
+        while len(Ks) < bs:
             Ks.append(Ks[-1])
         key, sub = jax.random.split(key)
         keys = jax.random.split(sub, bs)
-        out = pipe(np.stack(images)[..., None],
-                   np.stack(Ks).astype(np.float32), keys)
+        out = pipe(images, np.stack(Ks).astype(np.float32), keys)
+        pending.append((out, gt_poses, n_real))
+
+    for out, gt_poses, n_real in pending:
         poses = np.asarray(out.poses)
         success = np.asarray(out.success)
         for bi in range(n_real):

@@ -107,61 +107,52 @@ def verify_pair(F, uv0, uv1, threshold=EPIPOLAR_THRESHOLD):
 # Track building (union-find)
 # ---------------------------------------------------------------------------
 
-class UnionFind:
-    def __init__(self, n: int):
-        self.parent = np.arange(n, dtype=np.int64)
-
-    def find(self, i: int) -> int:
-        p = self.parent
-        root = i
-        while p[root] != root:
-            root = p[root]
-        while p[i] != root:  # path compression
-            p[i], i = root, p[i]
-        return root
-
-    def union(self, a: int, b: int):
-        ra, rb = self.find(a), self.find(b)
-        if ra != rb:
-            self.parent[rb] = ra
-
-
 def build_tracks(num_kpts: Dict[str, int],
                  verified_matches: List[Tuple[str, str, np.ndarray]]):
     """verified_matches: list of (name0, name1, idx_pairs [M, 2]).
 
-    Returns (tracks, node_of): tracks = list of [(name, kpt_idx), ...] with
-    >= 2 observations and at most one observation per image (conflicting
-    tracks are dropped, COLMAP-style).
+    Connected components over the match graph via the native union-find
+    (onepose_tpu/runtime/track_builder.cpp; Python fallback inside).
+    Returns tracks = list of [(name, kpt_idx), ...] with >= 2 observations.
+    Image conflicts (two keypoints of one image in a track — the signature
+    of an outlier link) are tolerated here; the robust triangulation stage
+    keeps the consensus observations and prunes conflict losers by
+    reprojection error.
     """
+    from onepose_tpu.runtime.native import uf_components
+
     names = list(num_kpts.keys())
     offsets = {}
     total = 0
     for n in names:
         offsets[n] = total
         total += num_kpts[n]
-    uf = UnionFind(total)
-    for name0, name1, pairs_idx in verified_matches:
-        o0, o1 = offsets[name0], offsets[name1]
-        for i0, i1 in pairs_idx:
-            uf.union(o0 + int(i0), o1 + int(i1))
 
-    groups: Dict[int, List[int]] = {}
-    for node in range(total):
-        groups.setdefault(uf.find(node), []).append(node)
+    edge_arrays = [
+        pairs_idx.astype(np.int64)
+        + np.array([offsets[name0], offsets[name1]], np.int64)
+        for name0, name1, pairs_idx in verified_matches
+    ]
+    edges = (np.concatenate(edge_arrays) if edge_arrays
+             else np.zeros((0, 2), np.int64))
+    roots = uf_components(total, edges)
+
+    # group nodes by root (vectorized)
+    order = np.argsort(roots, kind="stable")
+    sorted_roots = roots[order]
+    boundaries = np.flatnonzero(
+        np.diff(sorted_roots, prepend=sorted_roots[0] - 1 if total else 0))
 
     rev = []
     for n in names:
         rev.extend([(n, i) for i in range(num_kpts[n])])
 
     tracks = []
-    for members in groups.values():
+    starts = list(boundaries) + [total]
+    for si in range(len(starts) - 1):
+        members = order[starts[si]:starts[si + 1]]
         if len(members) < 2:
             continue
-        # Image conflicts (two keypoints of one image in a track — the
-        # signature of an outlier link) are tolerated here; the robust
-        # triangulation stage keeps the consensus observations and the
-        # per-image conflict loser is pruned by reprojection error.
         tracks.append([rev[m] for m in members])
     return tracks
 

@@ -1,0 +1,89 @@
+"""Aux subsystems: global BA on a model dir, collectives (single-process
+degradation), profiling utils."""
+import numpy as np
+
+from onepose_tpu.parallel import collectives
+from onepose_tpu.sfm import global_ba
+from onepose_tpu.utils import colmap_io
+from onepose_tpu.utils.profiling import Timer
+
+
+def test_global_ba_refines_model(tmp_path):
+    # reuse the synthetic SfM scene: build a model with perturbed poses
+    import sys
+    import os.path as osp
+
+    sys.path.insert(0, osp.dirname(__file__))
+    from test_sfm import make_scene
+
+    from onepose_tpu.utils.geometry import rotmat2qvec, qvec2rotmat
+
+    rng = np.random.default_rng(0)
+    pts3d, K, poses, uvs, perms = make_scene(rng, n_points=30, n_cams=6,
+                                             noise_px=0.0)
+    cameras, images, points = {}, {}, {}
+    for i, pose in enumerate(poses):
+        cameras[i + 1] = colmap_io.Camera(
+            i + 1, "PINHOLE", 512, 512,
+            np.array([K[0, 0], K[1, 1], K[0, 2], K[1, 2]]))
+        R = pose[:3, :3]
+        # perturb the stored poses
+        from onepose_tpu.utils.geometry import rodrigues
+
+        R_p = rodrigues(rng.normal(size=3) * 0.005) @ R
+        t_p = pose[:3, 3] + rng.normal(size=3) * 0.002
+        images[i + 1] = colmap_io.Image(
+            i + 1, rotmat2qvec(R_p), t_p, i + 1, f"img{i}.png",
+            uvs[i].astype(np.float64),
+            np.full(len(uvs[i]), -1, np.int64))
+    inv_perms = [np.argsort(p) for p in perms]
+    for pi in range(len(pts3d)):
+        image_ids = np.arange(1, len(poses) + 1, dtype=np.int32)
+        pt2d = np.array([inv_perms[c][pi] for c in range(len(poses))],
+                        np.int32)
+        points[pi + 1] = colmap_io.Point3D(
+            pi + 1, pts3d[pi], np.zeros(3, np.uint8), 0.0, image_ids,
+            pt2d)
+        for c in range(len(poses)):
+            images[c + 1].point3D_ids[pt2d[c]] = pi + 1
+
+    model_dir = str(tmp_path / "model")
+    colmap_io.write_model(cameras, images, points, model_dir)
+
+    stats = global_ba.run_bundle_adjuster(model_dir, iterations=10)
+    assert stats["final_cost"] < stats["initial_cost"] * 0.01
+
+    # poses in the refreshed model reproject cleanly
+    _, images2, points2 = colmap_io.read_model(model_dir)
+    im = images2[1]
+    R = qvec2rotmat(im.qvec)
+    errs = []
+    for pid, pt in points2.items():
+        sel = pt.image_ids == 1
+        if sel.any():
+            ki = int(pt.point2D_idxs[sel][0])
+            cam = R @ pt.xyz + im.tvec
+            uv = (K @ cam)[:2] / cam[2]
+            errs.append(np.linalg.norm(uv - im.xys[ki]))
+    assert np.median(errs) < 0.5
+
+
+def test_collectives_single_process():
+    assert collectives.get_world_size() == 1
+    assert collectives.is_main_process()
+    collectives.synchronize()  # no-op
+    out = collectives.reduce_dict({"a": 1.0, "b": 2.0})
+    assert out == {"a": 1.0, "b": 2.0}
+    g = collectives.all_gather_arrays({"x": np.ones(3)})
+    assert g["x"].shape == (1, 3)
+
+
+def test_timer():
+    t = Timer()
+    with t.scope("op"):
+        x = sum(range(1000))
+    t.tick("op")
+    t.tock("op")
+    s = t.summary()
+    assert s["op"]["count"] == 2
+    assert s["op"]["total_s"] >= 0
