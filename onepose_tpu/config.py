@@ -142,4 +142,18 @@ def load_config(overrides: Optional[Sequence[str]] = None,
         _set_dotted(cfg, key, value)
 
     cfg = _interpolate(cfg, cfg)
-    return _wrap(cfg)
+    wrapped = _wrap(cfg)
+    if wrapped.get("print_config"):
+        print_config(wrapped)
+    return wrapped
+
+
+def print_config(cfg: Dict, indent: int = 0):
+    """Config tree printer (the reference uses rich,
+    template_utils.py:26-73; plain-text here)."""
+    for k, v in cfg.items():
+        if isinstance(v, dict):
+            print("  " * indent + f"{k}:")
+            print_config(v, indent + 1)
+        else:
+            print("  " * indent + f"{k}: {v}")

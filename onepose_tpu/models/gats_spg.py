@@ -39,6 +39,9 @@ DEFAULT_CONFIG = {
     "include_self": True,
     "additional": False,
     "with_linear_transform": False,
+    # "bfloat16" runs the GNN body on the MXU in bf16 (fp32 accumulation;
+    # instance-norm statistics and the dual-softmax stay fp32)
+    "compute_dtype": "float32",
 }
 
 
@@ -110,9 +113,11 @@ def init_params(rng: jax.Array, config: Optional[dict] = None) -> Params:
 # ---------------------------------------------------------------------------
 
 def _linear(x: jnp.ndarray, p: Params) -> jnp.ndarray:
-    return jnp.einsum(
+    # fp32 accumulation on the MXU, activations back to the compute dtype
+    y = jnp.einsum(
         "...i,io->...o", x, p["w"], preferred_element_type=jnp.float32
     ) + p["b"]
+    return y.astype(x.dtype)
 
 
 def _split_heads(x: jnp.ndarray, num_heads: int) -> jnp.ndarray:
@@ -143,15 +148,17 @@ def linear_attention(q, k, v):
     )
     out = jnp.einsum("bnhd,bhde,bnh->bnhe", q, kv, z,
                      preferred_element_type=jnp.float32)
-    return out * v_len
+    return (out * v_len).astype(q.dtype)
 
 
 def _instance_norm(x: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
     """InstanceNorm over the token axis (torch InstanceNorm1d on [B, C, N],
-    affine=False): per (batch, channel) normalize across tokens."""
-    mean = x.mean(axis=1, keepdims=True)
-    var = x.var(axis=1, keepdims=True)
-    return (x - mean) * jax.lax.rsqrt(var + eps)
+    affine=False): per (batch, channel) normalize across tokens. Statistics
+    in fp32 regardless of compute dtype."""
+    x32 = x.astype(jnp.float32)
+    mean = x32.mean(axis=1, keepdims=True)
+    var = x32.var(axis=1, keepdims=True)
+    return ((x32 - mean) * jax.lax.rsqrt(var + eps)).astype(x.dtype)
 
 
 def attention_propagation(p: Params, x: jnp.ndarray, source: jnp.ndarray,
@@ -213,7 +220,8 @@ def gats_layer(p: Params, h_2d: jnp.ndarray, h_3d: jnp.ndarray,
             h_prime = jnp.einsum("bnc,bncd->bnd", att, h_2d_g,
                                  preferred_element_type=jnp.float32)
             h_prime = h_prime / 2.0 + h_3d
-    return jax.nn.elu(h_prime)  # concat=True path (GATs.py:69-70)
+    # concat=True path (GATs.py:69-70); back to the compute dtype
+    return jax.nn.elu(h_prime).astype(h_3d.dtype)
 
 
 # ---------------------------------------------------------------------------
@@ -275,9 +283,12 @@ def forward(params: Params, data: Dict[str, jnp.ndarray],
     cfg = dict(DEFAULT_CONFIG)
     if config:
         cfg.update(config)
-    d2q = data["descriptors2d_query"].astype(jnp.float32)
-    d3db = data["descriptors3d_db"].astype(jnp.float32)
-    d2db = data["descriptors2d_db"].astype(jnp.float32)
+    cdt = jnp.dtype(cfg.get("compute_dtype", "float32"))
+    if cdt != jnp.float32:
+        params = jax.tree.map(lambda p: p.astype(cdt), params)
+    d2q = data["descriptors2d_query"].astype(cdt)
+    d3db = data["descriptors3d_db"].astype(cdt)
+    d2db = data["descriptors2d_db"].astype(cdt)
 
     layer_names = ["GATs", "self", "cross"] * cfg["num_blocks"]
     for p, name in zip(params["gnn"], layer_names):
@@ -292,8 +303,8 @@ def forward(params: Params, data: Dict[str, jnp.ndarray],
             delta1 = attention_propagation(p, d3db, d2q, cfg["num_heads"])
             d2q, d3db = d2q + delta0, d3db + delta1
 
-    m0 = _linear(d2q, params["final_proj"])
-    m1 = _linear(d3db, params["final_proj"])
+    m0 = _linear(d2q, params["final_proj"]).astype(jnp.float32)
+    m1 = _linear(d3db, params["final_proj"]).astype(jnp.float32)
     m0 = m0 / jnp.maximum(jnp.linalg.norm(m0, axis=-1, keepdims=True), 1e-12)
     m1 = m1 / jnp.maximum(jnp.linalg.norm(m1, axis=-1, keepdims=True), 1e-12)
 

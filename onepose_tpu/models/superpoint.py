@@ -29,6 +29,9 @@ DEFAULT_CONFIG = {
     "keypoint_threshold": 0.005,
     "max_keypoints": 1024,
     "remove_borders": 4,
+    # "bfloat16" runs the conv encoder on the MXU in bf16 (softmax/NMS/
+    # descriptor normalization stay fp32); "float32" is bit-safe default
+    "compute_dtype": "float32",
 }
 
 _ENCODER_CHANNELS = [
@@ -105,13 +108,17 @@ def _maxpool2(x: jnp.ndarray) -> jnp.ndarray:
     )
 
 
-def dense_heads(params: Params, images: jnp.ndarray):
+def dense_heads(params: Params, images: jnp.ndarray,
+                compute_dtype: str = "float32"):
     """Shared encoder + both heads.
 
     images: [B, H, W, 1] grayscale in [0, 1]. H, W divisible by 8.
     Returns (scores [B, H, W], desc_coarse [B, H/8, W/8, D] L2-normalized).
     """
-    x = images
+    cdt = jnp.dtype(compute_dtype)
+    if cdt != jnp.float32:
+        params = jax.tree.map(lambda p: p.astype(cdt), params)
+    x = images.astype(cdt)
     for entry in _ENCODER_CHANNELS:
         if entry[0] == "pool":
             x = _maxpool2(x)
@@ -120,7 +127,7 @@ def dense_heads(params: Params, images: jnp.ndarray):
 
     # Detector head: 65ch softmax, drop dustbin, 8x depth-to-space.
     cpa = jax.nn.relu(_conv2d(x, params["convPa"]))
-    logits = _conv2d(cpa, params["convPb"])  # [B, Hc, Wc, 65]
+    logits = _conv2d(cpa, params["convPb"]).astype(jnp.float32)
     probs = jax.nn.softmax(logits, axis=-1)[..., :-1]  # [B, Hc, Wc, 64]
     b, hc, wc, _ = probs.shape
     scores = probs.reshape(b, hc, wc, 8, 8)
@@ -128,7 +135,7 @@ def dense_heads(params: Params, images: jnp.ndarray):
 
     # Descriptor head.
     cda = jax.nn.relu(_conv2d(x, params["convDa"]))
-    desc = _conv2d(cda, params["convDb"])  # [B, Hc, Wc, D]
+    desc = _conv2d(cda, params["convDb"]).astype(jnp.float32)
     desc = desc / jnp.maximum(
         jnp.linalg.norm(desc, axis=-1, keepdims=True), 1e-12
     )
@@ -249,7 +256,8 @@ def _select_keypoints_single(scores: jnp.ndarray, desc: jnp.ndarray,
 @functools.partial(jax.jit, static_argnames=("config_items",))
 def _extract_jit(params: Params, images: jnp.ndarray, config_items):
     config = dict(config_items)
-    scores, desc = dense_heads(params, images)
+    scores, desc = dense_heads(
+        params, images, config.get("compute_dtype", "float32"))
     scores = simple_nms(scores, config["nms_radius"])
     return jax.vmap(lambda s, d: _select_keypoints_single(s, d, config))(
         scores, desc

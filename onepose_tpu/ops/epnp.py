@@ -37,6 +37,72 @@ class PnPResult(NamedTuple):
 
 
 # ---------------------------------------------------------------------------
+# TPU-friendly small linear algebra
+#
+# Batched jnp.linalg.eigh / svd on tiny matrices lower to QR-iteration loops
+# that dominate the RANSAC runtime on TPU; these fixed-iteration kernels map
+# to plain matmuls/solves instead.
+# ---------------------------------------------------------------------------
+
+def smallest_eigvec(A: jnp.ndarray, iters: int = 8,
+                    shift: float = 1e-6) -> jnp.ndarray:
+    """Eigenvector of symmetric PSD A ([D, D]) with the smallest eigenvalue
+    via inverse power iteration on a single Cholesky factorization."""
+    D = A.shape[0]
+    scale = jnp.trace(A) / D + 1e-12
+    L = jax.scipy.linalg.cholesky(
+        A + (shift * scale) * jnp.eye(D, dtype=A.dtype), lower=True)
+    v = jnp.ones((D,), A.dtype) / jnp.sqrt(jnp.float32(D))
+
+    def body(_, v):
+        y = jax.scipy.linalg.cho_solve((L, True), v)
+        return y / jnp.maximum(jnp.linalg.norm(y), 1e-20)
+
+    return jax.lax.fori_loop(0, iters, body, v)
+
+
+def _inv3(M: jnp.ndarray) -> jnp.ndarray:
+    """Analytic 3x3 inverse (adjugate / det)."""
+    a, b, c = M[0, 0], M[0, 1], M[0, 2]
+    d, e, f = M[1, 0], M[1, 1], M[1, 2]
+    g, h, i = M[2, 0], M[2, 1], M[2, 2]
+    A = e * i - f * h
+    B = c * h - b * i
+    C = b * f - c * e
+    Dd = f * g - d * i
+    E = a * i - c * g
+    F = c * d - a * f
+    G = d * h - e * g
+    Hh = b * g - a * h
+    Ii = a * e - b * d
+    det = a * A + b * Dd + c * G
+    det = jnp.where(jnp.abs(det) < 1e-20,
+                    jnp.where(det < 0, -1e-20, 1e-20), det)
+    adj = jnp.array([[A, B, C], [Dd, E, F], [G, Hh, Ii]])
+    return adj / det
+
+
+def closest_rotation(M: jnp.ndarray, iters: int = 6):
+    """Nearest proper rotation to a 3x3 matrix via Newton polar iteration
+    X ← (X + X^-T)/2 (quadratic convergence), with a det-sign flip.
+    Replaces the per-hypothesis 3x3 SVD. Returns (R, lam) with
+    M ≈ lam * R (lam carries the det sign, matching the SVD-based
+    mean-singular-value scale)."""
+    det = jnp.linalg.det(M)
+    sign = jnp.where(det < 0, -1.0, 1.0)
+    X0 = M * sign
+    nrm = jnp.sqrt(jnp.sum(X0 * X0) / 3.0) + 1e-12
+    X = X0 / nrm
+
+    def body(_, X):
+        return 0.5 * (X + _inv3(X).T)
+
+    R = jax.lax.fori_loop(0, iters, body, X)
+    lam_pos = jnp.trace(R.T @ X0) / 3.0
+    return R, sign * lam_pos
+
+
+# ---------------------------------------------------------------------------
 # EPnP core (weighted, static shapes)
 # ---------------------------------------------------------------------------
 
@@ -119,11 +185,8 @@ def _procrustes(ctrl_w: jnp.ndarray, ctrl_c: jnp.ndarray,
     mu_w = jnp.sum(pts_w * w[:, None], axis=0) / wsum
     mu_c = jnp.sum(pts_c * w[:, None], axis=0) / wsum
     cov = ((pts_c - mu_c) * w[:, None]).T @ (pts_w - mu_w)
-    U, _, Vt = jnp.linalg.svd(cov)
-    d = jnp.sign(jnp.linalg.det(U @ Vt))
-    D = jnp.diag(jnp.array([1.0, 1.0, 0.0], cov.dtype)) + \
-        jnp.diag(jnp.array([0.0, 0.0, 1.0], cov.dtype)) * d
-    R = U @ D @ Vt
+    # Kabsch rotation = proper polar factor of the covariance
+    R, _ = closest_rotation(cov)
     t = mu_c - R @ mu_w
     return jnp.concatenate([R, t[:, None]], axis=1)
 
@@ -178,18 +241,11 @@ def p6p_dlt(pts3d: jnp.ndarray, uv_norm: jnp.ndarray,
     w2 = jnp.concatenate([weights, weights], axis=0)
     AtA = jnp.einsum("ni,nj,n->ij", A, A, w2,
                      preferred_element_type=jnp.float32)
-    _, eigvec = jnp.linalg.eigh(AtA)
-    P = eigvec[:, 0].reshape(3, 4)
+    P = smallest_eigvec(AtA).reshape(3, 4)
 
     def extract(sign):
         Ps = sign * P
-        M = Ps[:, :3]
-        U, S, Vt = jnp.linalg.svd(M)
-        d = jnp.sign(jnp.linalg.det(U @ Vt))
-        D = jnp.diag(jnp.array([1.0, 1.0, 0.0], P.dtype)) + \
-            jnp.diag(jnp.array([0.0, 0.0, 1.0], P.dtype)) * d
-        R = U @ D @ Vt
-        lam = jnp.mean(S) * d  # absorb the det flip into the scale
+        R, lam = closest_rotation(Ps[:, :3])
         t = Ps[:, 3] / jnp.where(jnp.abs(lam) < 1e-12, 1e-12, lam)
         pose = jnp.concatenate([R, t[:, None]], axis=1)
         cam = lie.transform(pose, pts3d)

@@ -60,10 +60,14 @@ def train(cfg):
     state = pmesh.replicate(mesh, state)
     step_fn = trainer.make_train_step(tx, gats_cfg)
 
+    from onepose_tpu.train.logging import MetricLogger
+
     os.makedirs(cfg.checkpoint.dirpath, exist_ok=True)
-    os.makedirs(cfg.logging.log_dir, exist_ok=True)
-    log_path = osp.join(cfg.logging.log_dir, "metrics.jsonl")
-    log_f = open(log_path, "a")
+    logger = MetricLogger(cfg.logging.log_dir)
+    lr_sched = trainer.multistep_schedule(
+        float(cfg.model.lr),
+        [m * steps_per_epoch for m in cfg.model.milestones],
+        cfg.model.gamma)
 
     global_step = 0
     for epoch in range(cfg.trainer.max_epochs):
@@ -83,10 +87,10 @@ def train(cfg):
             if global_step % cfg.trainer.log_every_n_steps == 0:
                 loss_val = float(loss)
                 losses.append(loss_val)
-                log_f.write(json.dumps(
-                    {"step": global_step, "epoch": epoch,
-                     "train_loss": loss_val}) + "\n")
-                log_f.flush()
+                logger.log(global_step, {
+                    "epoch": epoch, "train_loss": loss_val,
+                    "lr": float(lr_sched(global_step)),
+                })
         epoch_loss = float(np.mean(losses)) if losses else float("nan")
         print(f"[train] epoch {epoch}: loss={epoch_loss:.4f} "
               f"({time.time() - t0:.1f}s, {global_step} steps)")
@@ -100,10 +104,8 @@ def train(cfg):
 
         val_metrics = validate(cfg, state.params, gats_cfg)
         if val_metrics:
-            log_f.write(json.dumps(
-                {"epoch": epoch, **val_metrics}) + "\n")
-            log_f.flush()
-    log_f.close()
+            logger.log(global_step, {"epoch": epoch, **val_metrics})
+    logger.close()
     return state
 
 
