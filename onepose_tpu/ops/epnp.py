@@ -45,20 +45,31 @@ class PnPResult(NamedTuple):
 # ---------------------------------------------------------------------------
 
 def smallest_eigvec(A: jnp.ndarray, iters: int = 8,
-                    shift: float = 1e-6) -> jnp.ndarray:
-    """Eigenvector of symmetric PSD A ([D, D]) with the smallest eigenvalue
-    via inverse power iteration on a single Cholesky factorization."""
+                    rq_iters: int = 0, shift: float = 1e-6) -> jnp.ndarray:
+    """Eigenvector of symmetric PSD A ([D, D]) with the smallest eigenvalue:
+    inverse power iteration on one Cholesky factorization, optionally
+    followed by Rayleigh-quotient iterations (cubic convergence, but each
+    step is a pivoted LU solve — scalar-heavy on TPU, so off by default;
+    degenerate minimal samples are handled by the dedicated planar solver
+    instead)."""
     D = A.shape[0]
+    eye = jnp.eye(D, dtype=A.dtype)
     scale = jnp.trace(A) / D + 1e-12
-    L = jax.scipy.linalg.cholesky(
-        A + (shift * scale) * jnp.eye(D, dtype=A.dtype), lower=True)
+    L = jax.scipy.linalg.cholesky(A + (shift * scale) * eye, lower=True)
     v = jnp.ones((D,), A.dtype) / jnp.sqrt(jnp.float32(D))
 
     def body(_, v):
         y = jax.scipy.linalg.cho_solve((L, True), v)
         return y / jnp.maximum(jnp.linalg.norm(y), 1e-20)
 
-    return jax.lax.fori_loop(0, iters, body, v)
+    v = jax.lax.fori_loop(0, iters, body, v)
+
+    def rq_body(_, v):
+        sigma = v @ A @ v
+        y = jnp.linalg.solve(A - (sigma - 1e-7 * scale) * eye, v)
+        return y / jnp.maximum(jnp.linalg.norm(y), 1e-20)
+
+    return jax.lax.fori_loop(0, rq_iters, rq_body, v)
 
 
 def _inv3(M: jnp.ndarray) -> jnp.ndarray:
@@ -95,7 +106,12 @@ def closest_rotation(M: jnp.ndarray, iters: int = 6):
     X = X0 / nrm
 
     def body(_, X):
-        return 0.5 * (X + _inv3(X).T)
+        # scaled Newton: mu = |det X|^(-1/3) equalizes the singular values
+        # around 1, giving fast global convergence even for spread spectra
+        mu = jnp.abs(jnp.linalg.det(X)) ** (-1.0 / 3.0)
+        mu = jnp.clip(mu, 1e-4, 1e4)
+        Xs = mu * X
+        return 0.5 * (Xs + _inv3(Xs).T)
 
     R = jax.lax.fori_loop(0, iters, body, X)
     lam_pos = jnp.trace(R.T @ X0) / 3.0
@@ -219,6 +235,75 @@ def epnp(pts3d: jnp.ndarray, uv_norm: jnp.ndarray,
     poses, costs = jax.vmap(candidate)(eigvec[:, :3].T)
     best = jnp.argmin(costs)
     return poses[best]
+
+
+def planar_pnp(pts3d: jnp.ndarray, uv_norm: jnp.ndarray,
+               weights: jnp.ndarray) -> jnp.ndarray:
+    """Homography-based pose for (near-)planar point sets.
+
+    Coplanar points make the full P6P DLT rank-deficient (the projection
+    column along the plane normal is unconstrained — nullspace dim 4), so a
+    generic null-vector solve returns garbage. Planar objects are a core
+    OnePose case (boxes), so minimal hypotheses evaluate this solver too:
+    fit the plane, estimate the plane→image homography (8 DoF, well-posed),
+    and decompose H = [r1 r2 t] with a polar orthonormalization.
+
+    Returns pose [3, 4]; for clearly non-planar samples the result simply
+    scores badly against the caller's reprojection cost.
+    """
+    wsum = jnp.sum(weights) + 1e-12
+    c = jnp.sum(pts3d * weights[:, None], axis=0) / wsum
+    centered = (pts3d - c) * jnp.sqrt(weights)[:, None]
+    cov = centered.T @ centered / wsum
+    # plane normal = smallest principal axis (tiny 3x3 → power iteration)
+    normal = smallest_eigvec(cov, iters=8)
+    # in-plane basis via Gram-Schmidt against the least-aligned unit axis
+    pick = jnp.argmin(jnp.abs(normal))
+    e_seed = jnp.eye(3, dtype=pts3d.dtype)[pick]
+    e1 = e_seed - jnp.dot(e_seed, normal) * normal
+    e1 = e1 / jnp.maximum(jnp.linalg.norm(e1), 1e-12)
+    e2 = jnp.cross(normal, e1)
+    basis = jnp.stack([e1, e2, normal], axis=1)  # columns
+
+    p2 = (pts3d - c) @ basis[:, :2]  # [N, 2] plane coords
+
+    # homography DLT: [p2, 1] → uv_norm; A [2N, 9]
+    n = pts3d.shape[0]
+    P = jnp.concatenate([p2, jnp.ones((n, 1), pts3d.dtype)], axis=1)
+    zeros = jnp.zeros_like(P)
+    u = uv_norm[:, 0:1]
+    v = uv_norm[:, 1:2]
+    A = jnp.concatenate([
+        jnp.concatenate([P, zeros, -u * P], axis=1),
+        jnp.concatenate([zeros, P, -v * P], axis=1),
+    ], axis=0)
+    w2 = jnp.concatenate([weights, weights])
+    AtA = jnp.einsum("ni,nj,n->ij", A, A, w2,
+                     preferred_element_type=jnp.float32)
+    h = smallest_eigvec(AtA)
+    H = h.reshape(3, 3)
+
+    def extract(sign):
+        Hs = sign * H
+        h1, h2, h3 = Hs[:, 0], Hs[:, 1], Hs[:, 2]
+        lam = 0.5 * (jnp.linalg.norm(h1) + jnp.linalg.norm(h2)) + 1e-12
+        Rp_raw = jnp.stack(
+            [h1 / lam, h2 / lam, jnp.cross(h1, h2) / (lam * lam)], axis=1)
+        Rp, _ = closest_rotation(Rp_raw)
+        t_p = h3 / lam
+        R_final = Rp @ basis.T
+        t_final = t_p - R_final @ c
+        pose = jnp.concatenate([R_final, t_final[:, None]], axis=1)
+        cam = lie.transform(pose, pts3d)
+        z = cam[:, 2]
+        proj = cam[:, :2] / jnp.maximum(jnp.abs(z), 1e-6)[:, None]
+        err = jnp.sum((proj - uv_norm) ** 2, axis=-1)
+        cost = jnp.sum(err * weights) + 1e6 * jnp.sum((z <= 0) * weights)
+        return pose, cost
+
+    pose_a, cost_a = extract(1.0)
+    pose_b, cost_b = extract(-1.0)
+    return jnp.where(cost_a <= cost_b, pose_a, pose_b)
 
 
 def p6p_dlt(pts3d: jnp.ndarray, uv_norm: jnp.ndarray,
@@ -358,10 +443,23 @@ def ransac_pnp(key: jax.Array, pts2d: jnp.ndarray, pts3d: jnp.ndarray,
     idx = _sample_hypothesis_indices(key, mask, num_hypotheses, sample_size)
 
     def solve_minimal(sample_idx):
+        """Evaluate both the generic P6P solve and the planar homography
+        solve; keep the one with the lower sample reprojection cost (the
+        planar model is the only well-posed one for coplanar samples)."""
         p3 = pts3d[sample_idx]
         uv = uv_norm[sample_idx]
         w = maskf[sample_idx]
-        return p6p_dlt(p3, uv, w)
+        pose_g = p6p_dlt(p3, uv, w)
+        pose_p = planar_pnp(p3, uv, w)
+
+        def cost(pose):
+            cam = lie.transform(pose, p3)
+            z = cam[:, 2]
+            proj = cam[:, :2] / jnp.maximum(jnp.abs(z), 1e-6)[:, None]
+            err = jnp.sum((proj - uv) ** 2, axis=-1)
+            return jnp.sum(err * w) + 1e6 * jnp.sum((z <= 0) * w)
+
+        return jnp.where(cost(pose_g) <= cost(pose_p), pose_g, pose_p)
 
     poses = jax.vmap(solve_minimal)(idx)  # [H, 3, 4]
 
@@ -382,16 +480,22 @@ def ransac_pnp(key: jax.Array, pts2d: jnp.ndarray, pts3d: jnp.ndarray,
     best_inliers = inlier_masks[best]
     w_in = best_inliers.astype(jnp.float32)
 
-    # Refit on the inlier set + Gauss–Newton polish.
-    pose_refit = epnp(pts3d, uv_norm, w_in + 1e-9)
-    pose_refined = gauss_newton_refine(
-        pose_refit, pts3d, uv_norm, w_in, iters=refine_iters)
+    # Refit on the inlier set (EPnP for general sets, homography for
+    # planar ones) + Gauss–Newton polish.
+    pose_refit_g = epnp(pts3d, uv_norm, w_in + 1e-9)
+    pose_refit_p = planar_pnp(pts3d, uv_norm, w_in + 1e-9)
 
-    # Keep whichever of {refined refit, raw best hypothesis} scores better.
     def count_for(pose):
         _, c = score(pose)
         return c
 
+    pose_refit = jnp.where(
+        count_for(pose_refit_g) >= count_for(pose_refit_p),
+        pose_refit_g, pose_refit_p)
+    pose_refined = gauss_newton_refine(
+        pose_refit, pts3d, uv_norm, w_in, iters=refine_iters)
+
+    # Keep whichever of {refined refit, raw best hypothesis} scores better.
     final_candidates = jnp.stack([pose_refined, poses[best]])
     final_counts = jax.vmap(count_for)(final_candidates)
     pick = jnp.argmax(final_counts)

@@ -85,6 +85,31 @@ def test_epnp_masked_padding():
     assert not res.inliers[100:].any()
 
 
+def test_epnp_planar_object():
+    """Coplanar 3D points (boxes — the canonical OnePose object) make the
+    generic P6P DLT rank-deficient; the homography path must recover the
+    pose. Regression test for the planar-degeneracy bug."""
+    rng = np.random.default_rng(10)
+    for trial in range(3):
+        K = np.array([[460.0, 0, 256], [0, 460.0, 256], [0, 0, 1]])
+        pts3d = np.concatenate([
+            rng.uniform(-0.1, 0.1, (120, 2)),
+            np.zeros((120, 1))], axis=1).astype(np.float32)
+        R = geo.rodrigues(rng.normal(size=3) * 0.5)
+        t = np.array([0.01, -0.02, 0.45])
+        pose_gt = np.concatenate([R, t[:, None]], axis=1)
+        uv = geo.project_points(pts3d, K, pose_gt)
+        uv += rng.normal(size=uv.shape) * 0.5
+        # 30% outliers
+        out = rng.choice(120, 36, replace=False)
+        uv[out] = rng.uniform(0, 512, (36, 2))
+        res = run_pnp(K, pts3d, uv.astype(np.float32),
+                      np.ones(120, bool), seed=trial)
+        r_err, t_err = geo.query_pose_error(res.pose, pose_gt)
+        assert r_err < 0.5 and t_err < 0.5, (trial, r_err, t_err)
+        assert res.num_inliers >= 70
+
+
 def test_epnp_too_few_points():
     rng = np.random.default_rng(4)
     K, pts3d, uv, pose_gt, mask = make_scene(rng, n=16, n_valid=3)
