@@ -186,16 +186,28 @@ def gats_layer(p: Params, h_2d: jnp.ndarray, h_3d: jnp.ndarray,
     num_leaf = h_2d.shape[1] // n1
     W, a = p["W"], p["a"]
 
-    wh_2d = jnp.einsum("bnd,de->bne", h_2d, W,
-                       preferred_element_type=jnp.float32)
-    wh_3d = jnp.einsum("bnd,de->bne", h_3d, W,
-                       preferred_element_type=jnp.float32)
-
-    a2d = (wh_2d @ a[:d]).reshape(b, n1, num_leaf)   # [B, N1, L]
-    a3d = wh_3d @ a[d:]                               # [B, N1, 1]
+    needs_wh = cfg["with_linear_transform"]
+    if needs_wh:
+        wh_2d = jnp.einsum("bnd,de->bne", h_2d, W,
+                           preferred_element_type=jnp.float32)
+        wh_3d = jnp.einsum("bnd,de->bne", h_3d, W,
+                           preferred_element_type=jnp.float32)
+        a2d = (wh_2d @ a[:d]).reshape(b, n1, num_leaf)   # [B, N1, L]
+        a3d = wh_3d @ a[d:]                               # [B, N1, 1]
+        wh_2d_g = wh_2d.reshape(b, n1, num_leaf, d)
+    else:
+        # The projected features are only consumed through the attention
+        # vector, so h @ W @ a collapses to h @ (W a) — two [D] vectors
+        # replace the full [*, D] x [D, D] matmuls (the trained config,
+        # include_self=True / with_linear_transform=False, takes this path).
+        wa2d = (W @ a[:d]).astype(h_2d.dtype)             # [D, 1]
+        wa3d = (W @ a[d:]).astype(h_2d.dtype)
+        a2d = (h_2d @ wa2d).reshape(b, n1, num_leaf)
+        a3d = h_3d @ wa3d
+        wh_3d = None
+        wh_2d_g = None
 
     h_2d_g = h_2d.reshape(b, n1, num_leaf, d)
-    wh_2d_g = wh_2d.reshape(b, n1, num_leaf, d)
 
     if cfg["include_self"]:
         e = jnp.concatenate([a3d, a2d], axis=-1) + a3d      # [B, N1, 1+L]
@@ -270,19 +282,12 @@ def dual_softmax_match(mdesc0: jnp.ndarray, mdesc1: jnp.ndarray,
 # Forward
 # ---------------------------------------------------------------------------
 
-def forward(params: Params, data: Dict[str, jnp.ndarray],
-            config: Optional[dict] = None) -> MatchOutput:
-    """Match 2D query keypoints against the 3D point DB.
-
-    data keys ([B, N, D] token layout):
-      descriptors2d_query: [B, N1, D]
-      descriptors3d_db:    [B, N2, D]
-      descriptors2d_db:    [B, N2*num_leaf, D] leaf descriptors
-      (optional) mask2d: [B, N1] bool, mask3d: [B, N2] bool
-    """
-    cfg = dict(DEFAULT_CONFIG)
-    if config:
-        cfg.update(config)
+def gnn_body(params: Params, data: Dict[str, jnp.ndarray],
+             cfg: dict):
+    """The 12-layer GNN + final projection + L2 norm, shared between the
+    training forward (which needs the confidence matrix) and the
+    inference-only matcher (which doesn't). Returns (mdesc2d [B,N1,D],
+    mdesc3d [B,N2,D]), fp32 unit-norm."""
     cdt = jnp.dtype(cfg.get("compute_dtype", "float32"))
     if cdt != jnp.float32:
         params = jax.tree.map(lambda p: p.astype(cdt), params)
@@ -307,11 +312,76 @@ def forward(params: Params, data: Dict[str, jnp.ndarray],
     m1 = _linear(d3db, params["final_proj"]).astype(jnp.float32)
     m0 = m0 / jnp.maximum(jnp.linalg.norm(m0, axis=-1, keepdims=True), 1e-12)
     m1 = m1 / jnp.maximum(jnp.linalg.norm(m1, axis=-1, keepdims=True), 1e-12)
+    return m0, m1
 
+
+def forward(params: Params, data: Dict[str, jnp.ndarray],
+            config: Optional[dict] = None) -> MatchOutput:
+    """Match 2D query keypoints against the 3D point DB.
+
+    data keys ([B, N, D] token layout):
+      descriptors2d_query: [B, N1, D]
+      descriptors3d_db:    [B, N2, D]
+      descriptors2d_db:    [B, N2*num_leaf, D] leaf descriptors
+      (optional) mask2d: [B, N1] bool, mask3d: [B, N2] bool
+    """
+    cfg = dict(DEFAULT_CONFIG)
+    if config:
+        cfg.update(config)
+    m0, m1 = gnn_body(params, data, cfg)
     return dual_softmax_match(
         m0, m1, cfg["scale_factor"], cfg["match_threshold"],
         mask0=data.get("mask2d"), mask1=data.get("mask3d"),
     )
+
+
+def _mutual_threshold(indices0, max0, indices1, max1, match_threshold,
+                      mask0=None, mask1=None):
+    """Mutual-max + threshold filtering from precomputed row/col argmaxes
+    (shared by the Pallas match path)."""
+    b, n1 = indices0.shape
+    n2 = indices1.shape[1]
+    ar0 = jnp.arange(n1)[None, :]
+    ar1 = jnp.arange(n2)[None, :]
+    mutual0 = ar0 == jnp.take_along_axis(indices1, indices0, axis=1)
+    mutual1 = ar1 == jnp.take_along_axis(indices0, indices1, axis=1)
+    mscores0 = jnp.where(mutual0, max0, 0.0)
+    mscores1 = jnp.where(
+        mutual1, jnp.take_along_axis(mscores0, indices1, axis=1), 0.0)
+    valid0 = mutual0 & (mscores0 > match_threshold)
+    if mask0 is not None:
+        valid0 &= mask0
+    if mask1 is not None:
+        valid0 &= jnp.take_along_axis(mask1, indices0, axis=1)
+    valid1 = mutual1 & jnp.take_along_axis(valid0, indices1, axis=1)
+    matches0 = jnp.where(valid0, indices0, -1).astype(jnp.int32)
+    matches1 = jnp.where(valid1, indices1, -1).astype(jnp.int32)
+    return matches0, matches1, mscores0, mscores1
+
+
+def forward_match_only(params: Params, data: Dict[str, jnp.ndarray],
+                       config: Optional[dict] = None) -> MatchOutput:
+    """Inference-only forward using the fused Pallas dual-softmax argmax
+    kernel (ops/pallas_match.py) — the [B, N1, N2] confidence matrix is
+    never materialized in HBM. ``conf_matrix`` in the result is a zero
+    placeholder (training uses :func:`forward`)."""
+    from onepose_tpu.ops.pallas_match import dual_softmax_argmax
+
+    cfg = dict(DEFAULT_CONFIG)
+    if config:
+        cfg.update(config)
+    m0, m1 = gnn_body(params, data, cfg)
+    # padded slots carry dustbin descriptors; push them out of the argmax
+    # race by damping their similarity via the masks in _mutual_threshold
+    interpret = jax.default_backend() != "tpu"  # CPU: interpreter mode
+    indices0, max0, indices1, max1 = dual_softmax_argmax(
+        m0, m1, cfg["scale_factor"], interpret=interpret)
+    matches0, matches1, mscores0, mscores1 = _mutual_threshold(
+        indices0, max0, indices1, max1, cfg["match_threshold"],
+        data.get("mask2d"), data.get("mask3d"))
+    conf_placeholder = jnp.zeros((m0.shape[0], 0, 0), jnp.float32)
+    return MatchOutput(matches0, matches1, mscores0, mscores1,
+                       conf_placeholder)
 
 
 @functools.partial(jax.jit, static_argnames=("config_items",))

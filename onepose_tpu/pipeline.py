@@ -63,11 +63,13 @@ def poses_from_matches(keypoints2d: jnp.ndarray, kpt_mask: jnp.ndarray,
 @functools.partial(
     jax.jit,
     static_argnames=("sp_config_items", "gats_config_items",
-                     "num_hypotheses", "refine_iters", "reproj_threshold"),
+                     "num_hypotheses", "refine_iters", "reproj_threshold",
+                     "use_pallas_match"),
 )
 def _frame_to_pose_jit(sp_params, gats_params, db, images, Ks, keys,
                        sp_config_items, gats_config_items,
-                       reproj_threshold, num_hypotheses, refine_iters):
+                       reproj_threshold, num_hypotheses, refine_iters,
+                       use_pallas_match=False):
     sp_cfg = dict(sp_config_items)
     b = images.shape[0]
 
@@ -84,7 +86,9 @@ def _frame_to_pose_jit(sp_params, gats_params, db, images, Ks, keys,
         "mask2d": det.mask,
         "mask3d": jnp.broadcast_to(db["mask3d"][None], (b, n2)),
     }
-    match = gats_spg.forward(gats_params, data, dict(gats_config_items))
+    match_fn = (gats_spg.forward_match_only if use_pallas_match
+                else gats_spg.forward)
+    match = match_fn(gats_params, data, dict(gats_config_items))
 
     pnp = poses_from_matches(
         det.keypoints, det.mask, match.matches0, db["keypoints3d"], Ks, keys,
@@ -114,7 +118,8 @@ class PosePipeline:
                  gats_config: Optional[dict] = None,
                  reproj_threshold: float = 5.0,
                  num_hypotheses: int = 512,
-                 refine_iters: int = 5):
+                 refine_iters: int = 5,
+                 use_pallas_match: bool = False):
         self.sp_params = sp_params
         self.gats_params = gats_params
         self.db = {
@@ -132,6 +137,7 @@ class PosePipeline:
         self.reproj_threshold = reproj_threshold
         self.num_hypotheses = num_hypotheses
         self.refine_iters = refine_iters
+        self.use_pallas_match = use_pallas_match
 
     def __call__(self, images, Ks, keys=None) -> PoseOutput:
         """images: [B, H, W, 1] float32 in [0,1]; Ks: [B, 3, 3];
@@ -144,4 +150,5 @@ class PosePipeline:
         return _frame_to_pose_jit(
             self.sp_params, self.gats_params, self.db, images, Ks, keys,
             self.sp_config_items, self.gats_config_items,
-            self.reproj_threshold, self.num_hypotheses, self.refine_iters)
+            self.reproj_threshold, self.num_hypotheses, self.refine_iters,
+            self.use_pallas_match)
