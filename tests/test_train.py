@@ -4,7 +4,7 @@ import numpy as np
 import pytest
 
 import jax
-import jax.numpy as jnp
+import jax.numpy as jnp  # noqa: F401 (used throughout)
 
 from onepose_tpu.models import gats_spg
 from onepose_tpu.parallel import mesh as pmesh
@@ -103,17 +103,17 @@ def test_data_parallel_step_matches_single_device():
     # Gradients must agree tightly (the cross-device psum only reorders the
     # fp32 summation). Post-Adam params are NOT compared at tight tolerance:
     # rsqrt normalization amplifies last-ulp gradient differences to O(lr).
-    import jax.numpy as jnp
-
     from onepose_tpu.models import gats_spg
 
+    full_cfg = dict(gats_spg.DEFAULT_CONFIG)
+    full_cfg.update(cfg)
+    grad_fn = jax.jit(
+        lambda p, b: jax.grad(trainer.compute_loss)(p, b, full_cfg))
+    params0 = trainer.init_train_state(jax.random.PRNGKey(0), tx,
+                                       cfg).params
+
     def grads_of(batch):
-        full_cfg = dict(gats_spg.DEFAULT_CONFIG)
-        full_cfg.update(cfg)
-        return jax.grad(trainer.compute_loss)(
-            trainer.init_train_state(
-                jax.random.PRNGKey(0), tx, cfg).params,
-            batch, full_cfg)
+        return grad_fn(params0, batch)
 
     g1 = grads_of({k: jnp.asarray(v) for k, v in batch_np.items()})
     g2 = grads_of(sharded)
