@@ -62,6 +62,14 @@ def reduce_dict(metrics: Dict[str, float], average: bool = True
     return {k: float(v) for k, v in zip(keys, red)}
 
 
+def shared_random_seed() -> int:
+    """A seed agreed upon by all processes (comm.py:218-228 contract):
+    process 0's draw is broadcast via the all-gather."""
+    seed = np.random.randint(0, 2 ** 31)
+    gathered = all_gather_arrays(np.asarray([seed]))
+    return int(np.asarray(gathered).reshape(-1)[0])
+
+
 def psum_metrics(values: Dict[str, jnp.ndarray], axis_name: str
                  ) -> Dict[str, jnp.ndarray]:
     """In-pjit scalar metric reduction over a mesh axis (use inside

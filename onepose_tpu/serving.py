@@ -1,0 +1,191 @@
+"""Multi-object pose serving runtime.
+
+Production-deployment layer with no reference counterpart (the reference
+evaluates one object per process): a single compiled frame→pose program
+serves *many* objects concurrently. All object DBs are padded to one static
+``shape3d`` and stacked device-resident [O, ...]; each request carries an
+object index that gathers its DB row inside the jit, so mixed-object batches
+run in one dispatch. A background thread assembles batches (size- or
+latency-triggered) and resolves futures — the serving pattern the prefetch
+loader feeds.
+"""
+from __future__ import annotations
+
+import functools
+import queue
+import threading
+from concurrent.futures import Future
+from typing import Dict, List, NamedTuple, Optional, Sequence
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from onepose_tpu.datasets.anno import ObjectDB
+from onepose_tpu.models import gats_spg, superpoint
+from onepose_tpu.pipeline import PoseOutput, poses_from_matches
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("sp_config_items", "gats_config_items",
+                     "reproj_threshold", "num_hypotheses", "refine_iters"),
+)
+def _serve_step(sp_params, gats_params, db_stack, obj_idx, images, Ks,
+                keys, sp_config_items, gats_config_items,
+                reproj_threshold, num_hypotheses, refine_iters):
+    """One mixed-object batch. db_stack arrays are [O, ...]; obj_idx [B]."""
+    sp_cfg = dict(sp_config_items)
+    det = superpoint.extract(sp_params, images, sp_cfg)
+
+    data = {
+        "descriptors2d_query": det.descriptors,
+        "descriptors3d_db": db_stack["descriptors3d"][obj_idx],
+        "descriptors2d_db": db_stack["descriptors2d_db"][obj_idx],
+        "mask2d": det.mask,
+        "mask3d": db_stack["mask3d"][obj_idx],
+    }
+    match = gats_spg.forward(gats_params, data, dict(gats_config_items))
+
+    pnp = poses_from_matches(
+        det.keypoints, det.mask, match.matches0,
+        db_stack["keypoints3d"][obj_idx], Ks, keys,
+        reproj_threshold=reproj_threshold,
+        num_hypotheses=num_hypotheses, refine_iters=refine_iters)
+    return PoseOutput(
+        poses=pnp.pose, num_inliers=pnp.num_inliers,
+        num_matches=jnp.sum(match.matches0 >= 0, axis=1).astype(jnp.int32),
+        success=pnp.success, matches0=match.matches0,
+        keypoints2d=det.keypoints)
+
+
+class PoseRequest(NamedTuple):
+    object_name: str
+    image: np.ndarray   # [H, W] grayscale in [0, 1]
+    K: np.ndarray       # [3, 3]
+
+
+class PoseServer:
+    def __init__(self, sp_params, gats_params,
+                 object_dbs: Dict[str, ObjectDB],
+                 sp_config: Optional[dict] = None,
+                 gats_config: Optional[dict] = None,
+                 batch_size: int = 8,
+                 max_latency_s: float = 0.02,
+                 reproj_threshold: float = 5.0,
+                 num_hypotheses: int = 512,
+                 refine_iters: int = 5,
+                 seed: int = 0):
+        if not object_dbs:
+            raise ValueError("need at least one object DB")
+        shapes = {db.keypoints3d.shape[0] for db in object_dbs.values()}
+        leaves = {db.num_leaf for db in object_dbs.values()}
+        if len(shapes) != 1 or len(leaves) != 1:
+            raise ValueError(
+                "all object DBs must share shape3d and num_leaf "
+                f"(got shapes {shapes}, num_leaf {leaves})")
+
+        self.sp_params = sp_params
+        self.gats_params = gats_params
+        self.names = sorted(object_dbs)
+        self.name_to_idx = {n: i for i, n in enumerate(self.names)}
+        self.db_stack = {
+            key: jax.device_put(jnp.asarray(np.stack(
+                [getattr(object_dbs[n], key) for n in self.names])))
+            for key in ("keypoints3d", "descriptors3d",
+                        "descriptors2d_db", "mask3d")
+        }
+
+        sp_cfg = dict(superpoint.DEFAULT_CONFIG)
+        sp_cfg.update(sp_config or {})
+        gats_cfg = dict(gats_spg.DEFAULT_CONFIG)
+        gats_cfg.update(gats_config or {})
+        self.sp_config_items = tuple(sorted(sp_cfg.items()))
+        self.gats_config_items = tuple(sorted(gats_cfg.items()))
+        self.batch_size = batch_size
+        self.max_latency_s = max_latency_s
+        self.reproj_threshold = reproj_threshold
+        self.num_hypotheses = num_hypotheses
+        self.refine_iters = refine_iters
+        self.key = jax.random.PRNGKey(seed)
+
+        self._queue: "queue.Queue" = queue.Queue()
+        self._stop = threading.Event()
+        self._worker: Optional[threading.Thread] = None
+
+    # -- synchronous API ------------------------------------------------
+    def infer_batch(self, requests: Sequence[PoseRequest]) -> List[dict]:
+        """Run a mixed-object batch synchronously. Pads the tail to the
+        static batch size."""
+        n_real = len(requests)
+        reqs = list(requests)
+        while len(reqs) < self.batch_size:
+            reqs.append(reqs[-1])
+        reqs = reqs[: self.batch_size]
+        images = np.stack(
+            [np.asarray(r.image, np.float32) for r in reqs])[..., None]
+        Ks = np.stack([np.asarray(r.K, np.float32) for r in reqs])
+        obj_idx = np.asarray(
+            [self.name_to_idx[r.object_name] for r in reqs], np.int32)
+        self.key, sub = jax.random.split(self.key)
+        keys = jax.random.split(sub, self.batch_size)
+        out = _serve_step(
+            self.sp_params, self.gats_params, self.db_stack,
+            jnp.asarray(obj_idx), jnp.asarray(images), jnp.asarray(Ks),
+            keys, self.sp_config_items, self.gats_config_items,
+            self.reproj_threshold, self.num_hypotheses, self.refine_iters)
+        poses = np.asarray(out.poses)
+        success = np.asarray(out.success)
+        inliers = np.asarray(out.num_inliers)
+        return [
+            {"pose": poses[i] if success[i] else None,
+             "num_inliers": int(inliers[i]),
+             "success": bool(success[i])}
+            for i in range(n_real)
+        ]
+
+    # -- async API ------------------------------------------------------
+    def start(self):
+        self._worker = threading.Thread(target=self._serve_loop,
+                                        daemon=True)
+        self._worker.start()
+
+    def stop(self):
+        self._stop.set()
+        if self._worker is not None:
+            self._worker.join(timeout=5)
+
+    def submit(self, request: PoseRequest) -> Future:
+        fut: Future = Future()
+        self._queue.put((request, fut))
+        return fut
+
+    def _serve_loop(self):
+        while not self._stop.is_set():
+            batch: List = []
+            try:
+                batch.append(self._queue.get(timeout=0.05))
+            except queue.Empty:
+                continue
+            # batch up to size or latency budget
+            import time as _time
+
+            deadline = _time.monotonic() + self.max_latency_s
+            while len(batch) < self.batch_size:
+                remaining = deadline - _time.monotonic()
+                if remaining <= 0:
+                    break
+                try:
+                    batch.append(self._queue.get(timeout=remaining))
+                except queue.Empty:
+                    break
+            reqs = [b[0] for b in batch]
+            futs = [b[1] for b in batch]
+            try:
+                results = self.infer_batch(reqs)
+                for fut, res in zip(futs, results):
+                    fut.set_result(res)
+            except Exception as e:  # pragma: no cover
+                for fut in futs:
+                    fut.set_exception(e)

@@ -41,6 +41,19 @@ def select_track_length(points3D: Dict[int, colmap_io.Point3D],
     return int(lengths.max())
 
 
+def write_tkl_ply(points3D: Dict[int, colmap_io.Point3D],
+                  track_length: int, output_dir: str) -> str:
+    """Dump the track-length-filtered cloud as PLY for visual inspection
+    (filter_tkl.vis_tkl_filtered_pcds role, filter_tkl.py:55-81)."""
+    kept = {pid: p for pid, p in points3D.items()
+            if len(p.point2D_idxs) >= track_length}
+    out_dir = osp.join(output_dir, "tkl_model")
+    os.makedirs(out_dir, exist_ok=True)
+    out_path = osp.join(out_dir, f"tl-{track_length}.ply")
+    colmap_io.write_points_ply(kept, out_path)
+    return out_path
+
+
 # ---------------------------------------------------------------------------
 # Filters (filter_points.py)
 # ---------------------------------------------------------------------------
@@ -307,6 +320,7 @@ def postprocess(model_dir: str, feature_path: str,
     cameras, images, points3D = colmap_io.read_model(model_dir)
 
     tkl = select_track_length(points3D, max_num_points)
+    write_tkl_ply(points3D, tkl, osp.dirname(anno_out_dir) or ".")
     xyzs, point_ids = filter_by_track_length(points3D, tkl)
     if box_path is not None:
         corners = np.loadtxt(box_path)
