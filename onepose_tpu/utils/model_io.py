@@ -49,11 +49,13 @@ def load_superglue_params(path: str):
 # ---------------------------------------------------------------------------
 
 def save_pytree(tree, path: str):
-    """Save a parameter pytree with orbax (directory checkpoint)."""
+    """Save a parameter pytree with orbax (directory checkpoint),
+    overwriting an existing checkpoint at the same path (the 'last'
+    checkpoint is rewritten every epoch)."""
     import orbax.checkpoint as ocp
 
     ckptr = ocp.StandardCheckpointer()
-    ckptr.save(osp.abspath(path), tree)
+    ckptr.save(osp.abspath(path), tree, force=True)
     ckptr.wait_until_finished()
 
 

@@ -179,3 +179,48 @@ def test_train_cli_integration(tmp_path):
                     jax.tree.leaves(jax.tree.map(np.asarray,
                                                  state.params))):
         np.testing.assert_allclose(a, b)
+
+
+def test_train_resume(tmp_path):
+    """A second train() run must resume from the epoch checkpoint."""
+    rng = np.random.default_rng(2)
+    build_dataset(tmp_path, rng)
+    import train as train_cli
+    from onepose_tpu.datasets.merge import merge_anno
+
+    root = str(tmp_path)
+    out_json = osp.join(root, "data/cache/onepose/train.json")
+    merge_anno(osp.join(root, "data/sfm_model"), ["0001-obj-box"],
+               out_json)
+
+    def make_cfg(max_epochs):
+        return Config({
+            "seed": 0,
+            "parallel": Config({"n_devices": 1}),
+            "model": Config({
+                "descriptor_dim": 256, "scale_factor": 0.07,
+                "match_threshold": 0.2, "include_self": True,
+                "additional": False, "with_linear_transform": False,
+                "lr": 1e-4, "weight_decay": 0.0, "milestones": [5],
+                "gamma": 0.5,
+                "spp_model_path": osp.join(root, "missing.pth"),
+            }),
+            "trainer": Config({
+                "max_epochs": max_epochs, "gradient_clip_val": 0.5,
+                "accumulate_grad_batches": 1, "log_every_n_steps": 1,
+            }),
+            "datamodule": Config({
+                "train_anno_file": out_json,
+                "val_anno_file": osp.join(root, "missing.json"),
+                "batch_size": 2, "num_leaf": 4, "shape2d": 32,
+                "shape3d": 48, "assign_pad_val": 0,
+            }),
+            "checkpoint": Config({"dirpath": osp.join(root, "ckpts")}),
+            "logging": Config({"log_dir": osp.join(root, "logs")}),
+        })
+
+    state1 = train_cli.train(make_cfg(1))
+    step_after_1 = int(np.asarray(state1.step))
+    state2 = train_cli.train(make_cfg(2))  # resumes at epoch 1
+    assert int(np.asarray(state2.step)) > step_after_1
+    assert osp.exists(osp.join(root, "ckpts", "epoch=1"))

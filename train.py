@@ -57,6 +57,23 @@ def train(cfg):
         accumulate_steps=cfg.trainer.accumulate_grad_batches)
     state = trainer.init_train_state(
         jax.random.PRNGKey(cfg.seed), tx, gats_cfg)
+
+    start_epoch = 0
+    resume = cfg.get("resume", True)
+    latest = model_io.latest_checkpoint(cfg.checkpoint.dirpath) \
+        if resume else None
+    if latest is not None:
+        import re
+
+        restored = model_io.load_pytree(
+            latest, {"params": state.params, "opt_state": state.opt_state,
+                     "step": state.step})
+        state = trainer.TrainState(
+            restored["params"], restored["opt_state"], restored["step"])
+        start_epoch = int(re.search(
+            r"epoch=(\d+)", osp.basename(latest)).group(1)) + 1
+        print(f"[train] resumed from {latest} (epoch {start_epoch})")
+
     state = pmesh.replicate(mesh, state)
     step_fn = trainer.make_train_step(tx, gats_cfg)
 
@@ -69,8 +86,8 @@ def train(cfg):
         [m * steps_per_epoch for m in cfg.model.milestones],
         cfg.model.gamma)
 
-    global_step = 0
-    for epoch in range(cfg.trainer.max_epochs):
+    global_step = int(np.asarray(state.step))
+    for epoch in range(start_epoch, cfg.trainer.max_epochs):
         t0 = time.time()
         losses = []
         for batch_np in train_ds.batches(
