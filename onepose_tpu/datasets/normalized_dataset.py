@@ -7,7 +7,7 @@ loader (onepose_tpu/runtime/loader.py) for batched TPU feeding.
 """
 from __future__ import annotations
 
-from typing import List, Optional, Sequence
+from typing import Optional, Sequence
 
 import numpy as np
 

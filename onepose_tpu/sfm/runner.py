@@ -86,6 +86,14 @@ def run_sfm(img_lists: Sequence[str], outputs_dir: str, sp_params,
         match.match_pairs_to_h5(
             sg_params, pair_list, lay["feature_out"], lay["matches_out"])
 
+    # posed-but-pointless model (reference generate_empty.py artifact)
+    if redo or not osp.exists(lay["empty_dir"]):
+        from onepose_tpu.utils import colmap_io
+
+        cameras, images_m = triangulate.build_empty_model(
+            img_lists, Ks, poses, sizes)
+        colmap_io.write_model(cameras, images_m, {}, lay["empty_dir"])
+
     stats = triangulate.triangulate_from_h5(
         lay["feature_out"], lay["matches_out"], pair_list, Ks, poses,
         sizes, lay["model_dir"])

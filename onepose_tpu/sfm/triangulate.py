@@ -17,7 +17,6 @@ Stages:
 """
 from __future__ import annotations
 
-import functools
 import os.path as osp
 from typing import Dict, List, Optional, Sequence, Tuple
 

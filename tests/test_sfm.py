@@ -260,3 +260,47 @@ def test_merge_points():
     np.testing.assert_allclose(merged[0], [0.00025, 0, 0])
     np.testing.assert_array_equal(sorted(idxs[0]), [10, 20])
     np.testing.assert_array_equal(idxs[1], [30])
+
+
+def test_run_sfm_full_runner_smoke(tmp_path):
+    """The complete run_sfm path with real (random-weight) SuperPoint +
+    SuperGlue on tiny textured frames: exercises extraction, pair
+    selection, matching, empty-model output, triangulation, and
+    postprocess wiring end-to-end. Random weights mean few/no 3D points —
+    the contract here is that every stage runs and writes its artifacts."""
+    import jax
+
+    from onepose_tpu.models import superglue, superpoint
+    from onepose_tpu.sfm import runner
+
+    rng = np.random.default_rng(5)
+    cv2 = pytest.importorskip("cv2")
+
+    sp_params = superpoint.init_params(jax.random.PRNGKey(0))
+    sg_params = superglue.init_params(jax.random.PRNGKey(1))
+
+    # tiny smooth-texture frames on a camera ring
+    pts3d, K, poses, _, _ = make_scene(rng, n_points=10, n_cams=6)
+    names, Ks, poses_d, sizes, images = [], {}, {}, {}, {}
+    tex = cv2.resize(rng.uniform(0, 1, (16, 16)).astype(np.float32),
+                     (64, 64), interpolation=cv2.INTER_CUBIC)
+    for i, pose in enumerate(poses):
+        name = f"/data/seq/color/{i}.png"
+        names.append(name)
+        Ks[name] = K
+        poses_d[name] = pose
+        sizes[name] = (64, 64)
+        images[name] = np.roll(tex, i * 3, axis=1)
+
+    out_dir = str(tmp_path / "outputs_superpoint_superglue")
+    stats = runner.run_sfm(
+        names, out_dir, sp_params, sg_params, Ks, poses_d, sizes,
+        images=images, covis_num=4, max_num_points=100)
+    lay = runner.sfm_outputs_layout(out_dir)
+    assert osp.exists(lay["feature_out"])
+    assert osp.exists(lay["covis_pairs_out"])
+    assert osp.exists(lay["matches_out"])
+    assert osp.exists(osp.join(lay["empty_dir"], "images.bin"))
+    assert osp.exists(osp.join(lay["model_dir"], "points3D.bin"))
+    assert osp.exists(osp.join(lay["anno_dir"], "anno_3d_average.npz"))
+    assert "num_points" in stats

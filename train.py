@@ -11,7 +11,6 @@ TPU-native: jitted data-parallel train step over the local device mesh
 
     python train.py +experiment=train_GATsSPG
 """
-import json
 import os
 import os.path as osp
 import sys
