@@ -42,6 +42,9 @@ DEFAULT_CONFIG = {
     # "bfloat16" runs the GNN body on the MXU in bf16 (fp32 accumulation;
     # instance-norm statistics and the dual-softmax stay fp32)
     "compute_dtype": "float32",
+    # rematerialize GNN layers in the backward pass (jax.checkpoint): trades
+    # recompute for activation memory when scaling batch/shape3d
+    "remat": False,
 }
 
 
@@ -295,17 +298,27 @@ def gnn_body(params: Params, data: Dict[str, jnp.ndarray],
     d3db = data["descriptors3d_db"].astype(cdt)
     d2db = data["descriptors2d_db"].astype(cdt)
 
+    def gats_step(p, d2db_, d3db_):
+        return gats_layer(p, d2db_, d3db_, cfg)
+
+    def attn_step(p, x, source):
+        return attention_propagation(p, x, source, cfg["num_heads"])
+
+    if cfg.get("remat"):
+        gats_step = jax.checkpoint(gats_step)
+        attn_step = jax.checkpoint(attn_step)
+
     layer_names = ["GATs", "self", "cross"] * cfg["num_blocks"]
     for p, name in zip(params["gnn"], layer_names):
         if name == "GATs":
-            d3db = gats_layer(p, d2db, d3db, cfg)
+            d3db = gats_step(p, d2db, d3db)
         elif name == "self":
-            delta0 = attention_propagation(p, d2q, d2q, cfg["num_heads"])
-            delta1 = attention_propagation(p, d3db, d3db, cfg["num_heads"])
+            delta0 = attn_step(p, d2q, d2q)
+            delta1 = attn_step(p, d3db, d3db)
             d2q, d3db = d2q + delta0, d3db + delta1
         else:  # cross
-            delta0 = attention_propagation(p, d2q, d3db, cfg["num_heads"])
-            delta1 = attention_propagation(p, d3db, d2q, cfg["num_heads"])
+            delta0 = attn_step(p, d2q, d3db)
+            delta1 = attn_step(p, d3db, d2q)
             d2q, d3db = d2q + delta0, d3db + delta1
 
     m0 = _linear(d2q, params["final_proj"]).astype(jnp.float32)

@@ -96,3 +96,28 @@ def test_self_matching_recovers_identity(models):
     assert matched.sum() >= 12  # most points self-match
     np.testing.assert_array_equal(
         m0[matched], np.arange(16)[matched])
+
+
+def test_masked_padding_never_matches(models):
+    """Padded keypoint slots (mask=False) must route to the dustbin and
+    never appear in the match output."""
+    from onepose_tpu.models import superglue as sg
+
+    _, params = models
+    rng = np.random.default_rng(2)
+    data = _make_pair(rng, n0=32, n1=32)
+    mask0 = np.ones((1, 32), bool)
+    mask0[0, 24:] = False
+    mask1 = np.ones((1, 32), bool)
+    mask1[0, 28:] = False
+    data["mask0"] = mask0
+    data["mask1"] = mask1
+    out = sg.match(params, data, {"sinkhorn_iterations": 30,
+                                  "match_threshold": 0.0})
+    m0 = np.asarray(out.matches0[0])
+    m1 = np.asarray(out.matches1[0])
+    assert (m0[24:] == -1).all()
+    assert (m1[28:] == -1).all()
+    # no valid slot may match into a masked slot
+    assert not np.isin(m0[m0 >= 0], np.arange(28, 32)).any()
+    assert not np.isin(m1[m1 >= 0], np.arange(24, 32)).any()

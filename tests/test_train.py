@@ -128,3 +128,28 @@ def test_multistep_schedule():
     assert np.isclose(sched(0), 1e-3)
     assert np.isclose(sched(10), 5e-4)
     assert np.isclose(sched(25), 2.5e-4)
+
+
+def test_remat_matches_standard():
+    """remat=True must change memory, not math: identical loss + grads."""
+    rng = np.random.default_rng(5)
+    batch = {k: jnp.asarray(v) for k, v in _tiny_batch(rng).items()}
+
+    from onepose_tpu.models import gats_spg
+
+    params = gats_spg.init_params(jax.random.PRNGKey(0), {"num_blocks": 1})
+
+    def loss_fn(p, remat):
+        cfg = dict(gats_spg.DEFAULT_CONFIG)
+        cfg.update({"num_blocks": 1, "remat": remat})
+        out = gats_spg.forward(p, batch, cfg)
+        from onepose_tpu.train.loss import focal_loss
+
+        return focal_loss(out.conf_matrix, batch["conf_gt"])
+
+    l0, g0 = jax.value_and_grad(lambda p: loss_fn(p, False))(params)
+    l1, g1 = jax.value_and_grad(lambda p: loss_fn(p, True))(params)
+    np.testing.assert_allclose(float(l0), float(l1), rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-6)
