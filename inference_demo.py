@@ -94,11 +94,12 @@ def inference_core(cfg):
 
         if tracker is not None and pose is not None:
             kpts = np.asarray(out.keypoints2d)[0]
+            descs = np.asarray(out.descriptors2d)[0]
             m0 = np.asarray(out.matches0)[0]
             matched = np.where(m0 >= 0)[0]
             if fi % 5 == 0 and len(matched) >= 8:
                 tracker.add_keyframe(
-                    res.crop, kpts, np.zeros((len(kpts), 1), np.float32),
+                    res.crop, kpts, descs,
                     np.ones(len(kpts), bool), pose, res.K_crop,
                     mkpts3d=db.keypoints3d[m0[matched]],
                     kpt_indices=matched)
