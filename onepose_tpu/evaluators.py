@@ -43,6 +43,27 @@ class Evaluator:
         return out
 
 
+def add_metric(pose_pred, pose_gt, model_points, symmetric: bool = False):
+    """ADD / ADD-S: mean distance between model points transformed by the
+    predicted vs GT pose (the reference's Evaluator reserves an `add` slot,
+    cmd_evaluator.py:9, but never implements it; standard definition here).
+
+    model_points: [N, 3] object-frame points (e.g. the SfM cloud or box
+    corners). symmetric=True uses nearest-neighbour distances (ADD-S).
+    """
+    pose_pred = np.asarray(pose_pred)[:3, :4]
+    pose_gt = np.asarray(pose_gt)[:3, :4]
+    pts = np.asarray(model_points)
+    p_pred = pts @ pose_pred[:3, :3].T + pose_pred[:3, 3]
+    p_gt = pts @ pose_gt[:3, :3].T + pose_gt[:3, 3]
+    if symmetric:
+        d = np.linalg.norm(
+            p_pred[:, None, :] - p_gt[None, :, :], axis=-1).min(axis=1)
+    else:
+        d = np.linalg.norm(p_pred - p_gt, axis=-1)
+    return float(d.mean())
+
+
 def record_eval_result(out_dir: str, obj_name: str, seq_name: str,
                        eval_result: dict):
     """Write the per-sequence eval report (eval_utils.py:7-15 format)."""

@@ -122,6 +122,49 @@ def make_video(image_dir: str, output_path: str, fps: int = 24):
     return output_path
 
 
+def export_scene(out_dir: str, points3d: Optional[np.ndarray] = None,
+                 poses: Optional[Sequence[np.ndarray]] = None,
+                 K: Optional[np.ndarray] = None,
+                 box3d_corners: Optional[np.ndarray] = None,
+                 name: str = "scene"):
+    """Export a reconstruction (point cloud + camera frustums + 3D box) as
+    PLY + JSON for external viewers — the dependency-free stand-in for the
+    reference's wis3d interactive dumps (vis_utils.py:398-433)."""
+    import json
+
+    os.makedirs(out_dir, exist_ok=True)
+    manifest = {"name": name}
+    if points3d is not None:
+        ply_path = osp.join(out_dir, f"{name}_points.ply")
+        pts = np.asarray(points3d)
+        with open(ply_path, "w") as f:
+            f.write("ply\nformat ascii 1.0\n")
+            f.write(f"element vertex {len(pts)}\n")
+            f.write("property float x\nproperty float y\n"
+                    "property float z\nend_header\n")
+            for x, y, z in pts:
+                f.write(f"{x} {y} {z}\n")
+        manifest["points"] = ply_path
+    if poses is not None:
+        cams = []
+        for pose in poses:
+            pose = np.asarray(pose)
+            R, t = pose[:3, :3], pose[:3, 3]
+            cams.append({
+                "R": R.tolist(), "t": t.tolist(),
+                "center": (-R.T @ t).tolist(),
+            })
+        manifest["cameras"] = cams
+    if K is not None:
+        manifest["K"] = np.asarray(K).tolist()
+    if box3d_corners is not None:
+        manifest["box3d_corners"] = np.asarray(box3d_corners).tolist()
+    json_path = osp.join(out_dir, f"{name}.json")
+    with open(json_path, "w") as f:
+        json.dump(manifest, f, indent=1)
+    return json_path
+
+
 def dump_wis3d(*args, **kwargs):  # pragma: no cover
     """Interactive 3D dump — optional dependency, absent in this image."""
     try:

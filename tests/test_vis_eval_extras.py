@@ -1,0 +1,72 @@
+"""ADD metric, scene export, vis drawing primitives."""
+import json
+import os.path as osp
+
+import numpy as np
+import pytest
+
+from onepose_tpu.evaluators import Evaluator, add_metric
+from onepose_tpu.utils import geometry as geo, vis_utils
+
+
+def test_add_metric():
+    rng = np.random.default_rng(0)
+    pts = rng.uniform(-0.1, 0.1, (50, 3))
+    gt = np.eye(4)
+    pred = np.eye(4)
+    pred[:3, 3] = [0.01, 0, 0]
+    assert np.isclose(add_metric(pred, gt, pts), 0.01)
+    assert add_metric(gt, gt, pts) < 1e-12
+    # symmetric variant is <= the asymmetric one
+    R = geo.rodrigues([0, 0, np.pi])
+    pred_rot = np.eye(4)
+    pred_rot[:3, :3] = R
+    ring = np.stack([np.cos(np.linspace(0, 2 * np.pi, 36, endpoint=False)),
+                     np.sin(np.linspace(0, 2 * np.pi, 36, endpoint=False)),
+                     np.zeros(36)], axis=1) * 0.1
+    add = add_metric(pred_rot, gt, ring)
+    adds = add_metric(pred_rot, gt, ring, symmetric=True)
+    assert adds < add * 0.1  # rotationally symmetric object
+
+
+def test_export_scene(tmp_path):
+    rng = np.random.default_rng(1)
+    pts = rng.normal(size=(20, 3))
+    pose = np.concatenate(
+        [geo.rodrigues([0.1, 0.2, 0.3]), np.array([[0.0], [0], [0.5]])],
+        axis=1)
+    path = vis_utils.export_scene(
+        str(tmp_path), points3d=pts, poses=[pose],
+        K=np.eye(3), box3d_corners=np.zeros((8, 3)), name="test")
+    man = json.load(open(path))
+    assert osp.exists(man["points"])
+    np.testing.assert_allclose(
+        man["cameras"][0]["center"],
+        (-pose[:3, :3].T @ pose[:3, 3]).tolist())
+    ply = open(man["points"]).read()
+    assert "element vertex 20" in ply
+
+
+def test_draw_primitives():
+    cv2 = pytest.importorskip("cv2")
+    img = np.zeros((100, 100, 3), np.uint8)
+    corners = np.array([
+        [10, 10], [40, 10], [40, 40], [10, 40],
+        [15, 15], [45, 15], [45, 45], [15, 45]])
+    out = vis_utils.draw_3d_box(img, corners)
+    assert out.sum() > 0
+    out2 = vis_utils.draw_2d_box(img.copy(), [5, 5, 60, 60])
+    assert out2.sum() > 0
+    canvas = vis_utils.draw_matches(
+        np.zeros((50, 50)), np.array([[10.0, 10]]),
+        np.zeros((50, 50)), np.array([[20.0, 20]]),
+        confidence=np.array([0.9]))
+    assert canvas.shape == (50, 100, 3)
+
+
+def test_evaluator_none_pose():
+    ev = Evaluator()
+    ev.evaluate(None, np.eye(4))
+    ev.evaluate(np.eye(4), np.eye(4))
+    m = ev.summarize(verbose=False)
+    assert m["cmd1"] == 0.5
