@@ -30,7 +30,7 @@ from jax.experimental.pallas import tpu as pltpu
 def _kernel(inv_scale_ref, d0_ref, d1_ref,
             idx0_ref, max0_ref, idx1_ref, max1_ref,
             col_max_ref, col_sum_ref, conf_col_max_ref, conf_col_idx_ref,
-            *, tile_n1: int, n1: int, n2: int):
+            *, tile_n1: int, n1: int, n2: int, n2_pad: int):
     phase = pl.program_id(0)
     ti = pl.program_id(1)
     n_tiles = pl.num_programs(1)
@@ -42,11 +42,14 @@ def _kernel(inv_scale_ref, d0_ref, d1_ref,
         preferred_element_type=jnp.float32,
     ) * inv_scale_ref[0]          # [tile_n1, N2]
 
-    # rows beyond n1 (padding of the last tile) must not pollute stats
+    # rows beyond n1 / columns beyond n2 (shape padding) must not pollute
+    # the statistics
     row_ids = jax.lax.broadcasted_iota(
-        jnp.int32, (tile_n1, n2), 0) + ti * tile_n1
+        jnp.int32, (tile_n1, n2_pad), 0) + ti * tile_n1
     row_valid = row_ids < n1
-    s = jnp.where(row_valid, s, -jnp.inf)
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, (tile_n1, n2_pad), 1)
+    col_valid = col_ids < n2
+    s = jnp.where(row_valid & col_valid, s, -jnp.inf)
 
     @pl.when(phase == 0)
     def _accumulate_col_stats():
@@ -80,10 +83,13 @@ def _kernel(inv_scale_ref, d0_ref, d1_ref,
         row_sum = jnp.sum(row_exp, axis=1, keepdims=True)
         p_row = row_exp / jnp.maximum(row_sum, 1e-30)
 
-        # column softmax from the accumulated stats
-        p_col = jnp.exp(s - col_max_ref[...]) / jnp.maximum(
+        # column softmax from the accumulated stats (padded columns have
+        # col_max = -inf → clamp to avoid NaN; their conf is zeroed anyway)
+        col_max = col_max_ref[...]
+        col_max = jnp.where(jnp.isfinite(col_max), col_max, 0.0)
+        p_col = jnp.exp(s - col_max) / jnp.maximum(
             col_sum_ref[...], 1e-30)
-        conf = jnp.where(row_valid, p_row * p_col, 0.0)  # [tile_n1, N2]
+        conf = jnp.where(row_valid & col_valid, p_row * p_col, 0.0)
 
         idx0_ref[...] = jnp.argmax(conf, axis=1).astype(jnp.int32)[None, :]
         max0_ref[...] = jnp.max(conf, axis=1)[None, :]
@@ -119,6 +125,11 @@ def dual_softmax_argmax(mdesc0: jnp.ndarray, mdesc1: jnp.ndarray,
     n1_pad = ((n1 + tile_n1 - 1) // tile_n1) * tile_n1
     if n1_pad != n1:
         mdesc0 = jnp.pad(mdesc0, ((0, 0), (0, n1_pad - n1), (0, 0)))
+    # Mosaic mis-compiles small trailing widths; keep N2 >= 256 and
+    # lane-aligned (padded columns are masked out inside the kernel)
+    n2_pad = max(((n2 + 127) // 128) * 128, 256)
+    if n2_pad != n2:
+        mdesc1 = jnp.pad(mdesc1, ((0, 0), (0, n2_pad - n2), (0, 0)))
     n_tiles = n1_pad // tile_n1
     inv_scale = jnp.reshape(
         1.0 / jnp.asarray(scale_factor, jnp.float32), (1,))
@@ -129,7 +140,7 @@ def dual_softmax_argmax(mdesc0: jnp.ndarray, mdesc1: jnp.ndarray,
         in_specs=[
             pl.BlockSpec((tile_n1, d), lambda p, i, s: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((n2, d), lambda p, i, s: (0, 0),
+            pl.BlockSpec((n2_pad, d), lambda p, i, s: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
@@ -139,21 +150,21 @@ def dual_softmax_argmax(mdesc0: jnp.ndarray, mdesc1: jnp.ndarray,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, tile_n1), lambda p, i, s: (0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n2), lambda p, i, s: (0, 0),
+            pl.BlockSpec((1, n2_pad), lambda p, i, s: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n2), lambda p, i, s: (0, 0),
+            pl.BlockSpec((1, n2_pad), lambda p, i, s: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
-            pltpu.VMEM((1, n2), jnp.float32),   # col max of S
-            pltpu.VMEM((1, n2), jnp.float32),   # col sumexp of S
-            pltpu.VMEM((1, n2), jnp.float32),   # col max of conf
-            pltpu.VMEM((1, n2), jnp.int32),     # col argmax of conf
+            pltpu.VMEM((1, n2_pad), jnp.float32),   # col max of S
+            pltpu.VMEM((1, n2_pad), jnp.float32),   # col sumexp of S
+            pltpu.VMEM((1, n2_pad), jnp.float32),   # col max of conf
+            pltpu.VMEM((1, n2_pad), jnp.int32),     # col argmax of conf
         ],
     )
 
     kernel = functools.partial(
-        _kernel, tile_n1=tile_n1, n1=n1, n2=n2)
+        _kernel, tile_n1=tile_n1, n1=n1, n2=n2, n2_pad=n2_pad)
 
     def one(d0, d1):
         idx0, max0, idx1, max1 = pl.pallas_call(
@@ -162,11 +173,11 @@ def dual_softmax_argmax(mdesc0: jnp.ndarray, mdesc1: jnp.ndarray,
             out_shape=[
                 jax.ShapeDtypeStruct((1, n1_pad), jnp.int32),
                 jax.ShapeDtypeStruct((1, n1_pad), jnp.float32),
-                jax.ShapeDtypeStruct((1, n2), jnp.int32),
-                jax.ShapeDtypeStruct((1, n2), jnp.float32),
+                jax.ShapeDtypeStruct((1, n2_pad), jnp.int32),
+                jax.ShapeDtypeStruct((1, n2_pad), jnp.float32),
             ],
             interpret=interpret,
         )(inv_scale, d0, d1)
-        return idx0[0, :n1], max0[0, :n1], idx1[0], max1[0]
+        return idx0[0, :n1], max0[0, :n1], idx1[0, :n2], max1[0, :n2]
 
     return jax.vmap(one)(mdesc0, mdesc1)
