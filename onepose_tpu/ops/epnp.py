@@ -442,26 +442,24 @@ def ransac_pnp(key: jax.Array, pts2d: jnp.ndarray, pts3d: jnp.ndarray,
 
     idx = _sample_hypothesis_indices(key, mask, num_hypotheses, sample_size)
 
-    def solve_minimal(sample_idx):
-        """Evaluate both the generic P6P solve and the planar homography
-        solve; keep the one with the lower sample reprojection cost (the
-        planar model is the only well-posed one for coplanar samples)."""
-        p3 = pts3d[sample_idx]
-        uv = uv_norm[sample_idx]
-        w = maskf[sample_idx]
-        pose_g = p6p_dlt(p3, uv, w)
-        pose_p = planar_pnp(p3, uv, w)
+    # Minimal hypotheses come from two solver families: the generic P6P DLT
+    # and the planar homography solver (the only well-posed one for coplanar
+    # objects — boxes). Rather than running both on every sample, the
+    # hypothesis budget is split between them; RANSAC scoring picks whichever
+    # family fits the scene, at half the minimal-solve cost.
+    n_hyp_a = num_hypotheses // 2
 
-        def cost(pose):
-            cam = lie.transform(pose, p3)
-            z = cam[:, 2]
-            proj = cam[:, :2] / jnp.maximum(jnp.abs(z), 1e-6)[:, None]
-            err = jnp.sum((proj - uv) ** 2, axis=-1)
-            return jnp.sum(err * w) + 1e6 * jnp.sum((z <= 0) * w)
+    def solve_p6p(sample_idx):
+        return p6p_dlt(pts3d[sample_idx], uv_norm[sample_idx],
+                       maskf[sample_idx])
 
-        return jnp.where(cost(pose_g) <= cost(pose_p), pose_g, pose_p)
+    def solve_planar(sample_idx):
+        return planar_pnp(pts3d[sample_idx], uv_norm[sample_idx],
+                          maskf[sample_idx])
 
-    poses = jax.vmap(solve_minimal)(idx)  # [H, 3, 4]
+    poses_a = jax.vmap(solve_p6p)(idx[:n_hyp_a])
+    poses_b = jax.vmap(solve_planar)(idx[n_hyp_a:])
+    poses = jnp.concatenate([poses_a, poses_b])  # [H, 3, 4]
 
     # Score hypotheses: pixel reprojection error against all points.
     def score(pose):
