@@ -32,6 +32,12 @@ DEFAULT_CONFIG = {
     # "bfloat16" runs the conv encoder on the MXU in bf16 (softmax/NMS/
     # descriptor normalization stay fp32); "float32" is bit-safe default
     "compute_dtype": "float32",
+    # fuse conv1a+ReLU+conv1b+ReLU+pool into one Pallas kernel (the
+    # full-resolution block XLA otherwise materializes in HBM per conv).
+    # EXPERIMENTAL: exact in interpret mode / CPU tests; this environment's
+    # remote Mosaic compile helper currently crashes (HTTP 500) lowering it
+    # on the real chip — see docs/DESIGN.md §6.
+    "fused_stem": False,
 }
 
 _ENCODER_CHANNELS = [
@@ -109,7 +115,8 @@ def _maxpool2(x: jnp.ndarray) -> jnp.ndarray:
 
 
 def dense_heads(params: Params, images: jnp.ndarray,
-                compute_dtype: str = "float32"):
+                compute_dtype: str = "float32",
+                fused_stem: bool = False):
     """Shared encoder + both heads.
 
     images: [B, H, W, 1] grayscale in [0, 1]. H, W divisible by 8.
@@ -118,8 +125,19 @@ def dense_heads(params: Params, images: jnp.ndarray,
     cdt = jnp.dtype(compute_dtype)
     if cdt != jnp.float32:
         params = jax.tree.map(lambda p: p.astype(cdt), params)
-    x = images.astype(cdt)
-    for entry in _ENCODER_CHANNELS:
+    encoder = _ENCODER_CHANNELS
+    if fused_stem and cdt == jnp.float32:
+        from onepose_tpu.ops.pallas_stem import fused_stem as _stem
+
+        interpret = jax.default_backend() != "tpu"
+        x = _stem(images.astype(jnp.float32),
+                  params["conv1a"]["w"], params["conv1a"]["b"],
+                  params["conv1b"]["w"], params["conv1b"]["b"],
+                  interpret=interpret)
+        encoder = _ENCODER_CHANNELS[3:]  # skip conv1a/conv1b/pool
+    else:
+        x = images.astype(cdt)
+    for entry in encoder:
         if entry[0] == "pool":
             x = _maxpool2(x)
         else:
@@ -257,7 +275,8 @@ def _select_keypoints_single(scores: jnp.ndarray, desc: jnp.ndarray,
 def _extract_jit(params: Params, images: jnp.ndarray, config_items):
     config = dict(config_items)
     scores, desc = dense_heads(
-        params, images, config.get("compute_dtype", "float32"))
+        params, images, config.get("compute_dtype", "float32"),
+        config.get("fused_stem", False))
     scores = simple_nms(scores, config["nms_radius"])
     return jax.vmap(lambda s, d: _select_keypoints_single(s, d, config))(
         scores, desc
