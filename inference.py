@@ -68,9 +68,21 @@ def inference_core(cfg, data_root, seq_dir, sfm_model_dir, sp_params,
         return load_gray(p)[..., None]
 
     loader = PrefetchLoader(img_lists, load_item, batch_size=bs, depth=2)
-    # Pipeline host IO against device compute: launch each batch, collect
-    # the previous one while the next loads.
+
+    # Pipeline host IO against device compute: keep a bounded window of
+    # in-flight batches (device memory for PoseOutputs stays constant on
+    # arbitrarily long sequences), draining the oldest as new ones launch.
+    MAX_IN_FLIGHT = 4
     pending = []
+
+    def drain(item):
+        out, gts, n = item
+        poses = np.asarray(out.poses)
+        success = np.asarray(out.success)
+        for bi in range(n):
+            evaluator.evaluate(
+                poses[bi] if success[bi] else None, gts[bi])
+
     for images, chunk, n_real in loader:
         Ks, gt_poses = [], []
         for p in chunk:
@@ -85,13 +97,10 @@ def inference_core(cfg, data_root, seq_dir, sfm_model_dir, sp_params,
         keys = jax.random.split(sub, bs)
         out = pipe(images, np.stack(Ks).astype(np.float32), keys)
         pending.append((out, gt_poses, n_real))
-
-    for out, gt_poses, n_real in pending:
-        poses = np.asarray(out.poses)
-        success = np.asarray(out.success)
-        for bi in range(n_real):
-            evaluator.evaluate(
-                poses[bi] if success[bi] else None, gt_poses[bi])
+        if len(pending) > MAX_IN_FLIGHT:
+            drain(pending.pop(0))
+    for item in pending:
+        drain(item)
 
     eval_result = evaluator.summarize()
     obj_name = sfm_model_dir.rstrip("/").split("/")[-1]
