@@ -16,13 +16,18 @@ from onepose_tpu.utils import path_utils
 
 def pose_distances(Rs: np.ndarray, ts: np.ndarray):
     """Rs: [n,3,3] world→camera rotations; ts: [n,3] translations.
-    Returns (center distances [n,n], relative rotation angles deg [n,n])."""
-    # camera centers: C = -R^T t
-    centers = -np.einsum("nij,nj->ni", Rs.transpose(0, 2, 1), ts)
-    diff = centers[:, None, :] - centers[None, :, :]
-    dist = np.linalg.norm(diff, axis=-1)
-    # angle between R_i and R_j: trace(R_i R_j^T)
-    trace = np.einsum("nab,mab->nm", Rs, Rs)
+    Returns (center distances [n,n], relative rotation angles deg [n,n]).
+
+    The arithmetic mirrors the reference bit-for-bit (scipy pdist on camera
+    centers C = -R^T t, trace-based angles): the argpartition-based pair
+    subsample is sensitive to last-ulp distance differences, and identical
+    inputs are required for identical pair sets."""
+    from scipy.spatial import distance as _distance
+
+    Rs_t = Rs.transpose(0, 2, 1)                       # [n, 3, 3]
+    centers = -(Rs_t @ ts[:, :, None])[:, :, 0]        # [n, 3]
+    dist = _distance.squareform(_distance.pdist(centers))
+    trace = np.einsum("nji,mji->mn", Rs_t, Rs_t, optimize=True)
     dR = np.clip((trace - 1.0) / 2.0, -1.0, 1.0)
     dR = np.rad2deg(np.abs(np.arccos(dR)))
     return dist, dR
@@ -72,12 +77,15 @@ def covis_pairs(img_lists: Sequence[str], num_matched: int = 10,
         dist_i = dist[i]
         for s, ids_list in seq_ids.items():
             ids = np.asarray(ids_list)
-            k = min(num_per_seq * 2, len(ids) - 1)
-            if k <= 0:
-                continue
-            # nearest 2k candidates, stride-2 subsample (reference :56)
-            part = np.argpartition(dist_i[ids], k)[:num_per_seq:2] \
-                if k >= num_per_seq else np.argsort(dist_i[ids])[:k]
+            if num_per_seq * 2 < len(ids):
+                # nearest 2k candidates, stride-2 subsample of the
+                # partitioned order (reference :56)
+                part = np.argpartition(
+                    dist_i[ids], num_per_seq * 2)[:num_per_seq:2]
+            else:
+                # reference fallback for short sequences (its argpartition
+                # raises and the except branch keeps every candidate, :57-58)
+                part = np.arange(len(ids))
             idx = ids[part]
             idx = idx[np.argsort(dist_i[idx])]
             idx = idx[valid[i][idx]]

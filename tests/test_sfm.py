@@ -304,3 +304,72 @@ def test_run_sfm_full_runner_smoke(tmp_path):
     assert osp.exists(osp.join(lay["model_dir"], "points3D.bin"))
     assert osp.exists(osp.join(lay["anno_dir"], "anno_3d_average.npz"))
     assert "num_points" in stats
+
+
+def test_covis_pairs_parity_with_reference(tmp_path):
+    """Pair selection vs the reference pairs_from_poses on identical poses
+    written to a real dataset layout."""
+    import conftest
+    if not conftest.reference_available():
+        pytest.skip("reference not present")
+    import importlib.util
+    import sys
+    import types
+
+    # the reference module imports src.utils.path_utils; provide it
+    ref_pu_spec = importlib.util.spec_from_file_location(
+        "ref_path_utils", "/root/reference/src/utils/path_utils.py")
+    ref_pu = importlib.util.module_from_spec(ref_pu_spec)
+    ref_pu_spec.loader.exec_module(ref_pu)
+    pkg_src = types.ModuleType("src")
+    pkg_utils = types.ModuleType("src.utils")
+    pkg_utils.path_utils = ref_pu
+    sys.modules["src"] = pkg_src
+    sys.modules["src.utils"] = pkg_utils
+    spec = importlib.util.spec_from_file_location(
+        "ref_pairs", "/root/reference/src/sfm/pairs_from_poses.py")
+    ref_pairs = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(ref_pairs)
+
+    rng = np.random.default_rng(7)
+    _, _, poses, _, _ = make_scene(rng, n_cams=14)
+    seq = tmp_path / "obj" / "seq-1"
+    (seq / "color").mkdir(parents=True)
+    (seq / "poses_ba").mkdir()
+    names = []
+    for i, pose in enumerate(poses):
+        name = str(seq / "color" / f"{i}.png")
+        names.append(name)
+        pose4 = np.eye(4)
+        pose4[:3] = pose
+        np.savetxt(str(seq / "poses_ba" / f"{i}.txt"), pose4)
+
+    out_ref = str(tmp_path / "pairs_ref.txt")
+    ref_pairs.covis_from_pose(names, out_ref, 10, max_rotation=50)
+    ref_set = set(tuple(line.split(" "))
+                  for line in open(out_ref).read().split("\n") if line)
+
+    ours = set(pairs_mod.covis_pairs(names, num_matched=10))
+    # identical pair sets (short sequence → reference fallback branch)
+    assert ours == ref_set, (
+        len(ours), len(ref_set), list(ours - ref_set)[:3],
+        list(ref_set - ours)[:3])
+
+    # long sequence → the argpartition + stride-2 branch
+    _, _, poses2, _, _ = make_scene(rng, n_cams=40)
+    seq2 = tmp_path / "obj" / "seq-2"
+    (seq2 / "color").mkdir(parents=True)
+    (seq2 / "poses_ba").mkdir()
+    names2 = []
+    for i, pose in enumerate(poses2):
+        name = str(seq2 / "color" / f"{i}.png")
+        names2.append(name)
+        pose4 = np.eye(4)
+        pose4[:3] = pose
+        np.savetxt(str(seq2 / "poses_ba" / f"{i}.txt"), pose4)
+    out_ref2 = str(tmp_path / "pairs_ref2.txt")
+    ref_pairs.covis_from_pose(names2, out_ref2, 10, max_rotation=50)
+    ref_set2 = set(tuple(line.split(" "))
+                   for line in open(out_ref2).read().split("\n") if line)
+    ours2 = set(pairs_mod.covis_pairs(names2, num_matched=10))
+    assert ours2 == ref_set2, (len(ours2), len(ref_set2))
