@@ -17,10 +17,11 @@ from onepose_tpu.sfm import extract, match, pairs as pairs_mod, postprocess, \
 from onepose_tpu.utils import geometry as geo, path_utils
 
 
-def sfm_outputs_layout(outputs_dir: str):
+def sfm_outputs_layout(outputs_dir: str, covis_num: int = 10):
     return {
         "feature_out": osp.join(outputs_dir, "feats-superpoint.h5"),
-        "covis_pairs_out": osp.join(outputs_dir, "pairs-covis10.txt"),
+        "covis_pairs_out": osp.join(
+            outputs_dir, f"pairs-covis{covis_num}.txt"),
         "matches_out": osp.join(outputs_dir, "matches-superglue.h5"),
         "empty_dir": osp.join(outputs_dir, "sfm_empty"),
         "deep_sfm_dir": osp.join(outputs_dir, "sfm_ws"),
@@ -68,7 +69,7 @@ def run_sfm(img_lists: Sequence[str], outputs_dir: str, sp_params,
     """End-to-end SfM for one object. Ks/poses/sizes are keyed by image
     path; ``images`` optionally supplies in-memory grayscale arrays."""
     os.makedirs(outputs_dir, exist_ok=True)
-    lay = sfm_outputs_layout(outputs_dir)
+    lay = sfm_outputs_layout(outputs_dir, covis_num)
 
     if redo or not osp.exists(lay["feature_out"]):
         extract.extract_to_h5(sp_params, img_lists, lay["feature_out"],

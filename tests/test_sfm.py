@@ -296,7 +296,7 @@ def test_run_sfm_full_runner_smoke(tmp_path):
     stats = runner.run_sfm(
         names, out_dir, sp_params, sg_params, Ks, poses_d, sizes,
         images=images, covis_num=4, max_num_points=100)
-    lay = runner.sfm_outputs_layout(out_dir)
+    lay = runner.sfm_outputs_layout(out_dir, covis_num=4)
     assert osp.exists(lay["feature_out"])
     assert osp.exists(lay["covis_pairs_out"])
     assert osp.exists(lay["matches_out"])
