@@ -224,3 +224,44 @@ def test_train_resume(tmp_path):
     state2 = train_cli.train(make_cfg(2))  # resumes at epoch 1
     assert int(np.asarray(state2.step)) > step_after_1
     assert osp.exists(osp.join(root, "ckpts", "epoch=1"))
+
+
+def test_validate_with_plots(tmp_path):
+    """train.validate: pose metrics + reprojection match figures."""
+    rng = np.random.default_rng(3)
+    build_dataset(tmp_path, rng)
+    import jax
+
+    import train as train_cli
+    from onepose_tpu.datasets.merge import merge_anno
+    from onepose_tpu.models import superpoint
+    from onepose_tpu.utils import model_io
+
+    root = str(tmp_path)
+    val_json = osp.join(root, "data/cache/onepose/val.json")
+    merge_anno(osp.join(root, "data/sfm_model"), ["0001-obj-box"],
+               val_json)
+    sp_dir = osp.join(root, "weights_sp")
+    model_io.save_pytree(
+        superpoint.init_params(jax.random.PRNGKey(0)), sp_dir)
+
+    from onepose_tpu.models import gats_spg
+
+    cfg = Config({
+        "seed": 0,
+        "model": Config({"spp_model_path": sp_dir}),
+        "datamodule": Config({
+            "val_anno_file": val_json, "num_leaf": 4,
+            "shape2d": 32, "shape3d": 48}),
+        "logging": Config({"log_dir": osp.join(root, "logs")}),
+    })
+    params = gats_spg.init_params(jax.random.PRNGKey(1),
+                                  {"num_blocks": 1})
+    metrics = train_cli.validate(
+        cfg, params, {"num_blocks": 1, "match_threshold": 0.0}, epoch=0,
+                                 n_plots=2)
+    assert set(metrics) == {"1cm@1degree", "3cm@3degree", "5cm@5degree"}
+    import glob as _glob
+
+    plots = _glob.glob(osp.join(root, "logs", "val_plots", "*.png"))
+    assert len(plots) >= 1

@@ -118,22 +118,24 @@ def train(cfg):
             jax.tree.map(np.asarray, state.params),
             osp.join(cfg.checkpoint.dirpath, "last"))
 
-        val_metrics = validate(cfg, state.params, gats_cfg)
+        val_metrics = validate(cfg, state.params, gats_cfg, epoch=epoch)
         if val_metrics:
             logger.log(global_step, {"epoch": epoch, **val_metrics})
     logger.close()
     return state
 
 
-def validate(cfg, params, gats_cfg):
+def validate(cfg, params, gats_cfg, epoch=0, n_plots=10):
     """Validation with live SuperPoint extraction + on-device PnP
-    (reference validation_step semantics)."""
+    (reference validation_step semantics), plus reprojection match figures
+    every val_plot_interval items (reference draw_reprojection_pair role,
+    GATsSPG_lightning_model.py:65-68)."""
     import jax
 
     from onepose_tpu import pipeline
     from onepose_tpu.datasets.gats_dataset import GATsSPGDataset
     from onepose_tpu.models import superpoint
-    from onepose_tpu.utils import geometry as geo, model_io
+    from onepose_tpu.utils import geometry as geo, model_io, vis_utils
 
     if not osp.exists(cfg.datamodule.val_anno_file):
         print("[val] no val annotations; skipping")
@@ -152,6 +154,9 @@ def validate(cfg, params, gats_cfg):
 
     from onepose_tpu.datasets.anno import ObjectDB
 
+    plot_interval = max(len(val_ds) // n_plots, 1)
+    plot_dir = osp.join(cfg.logging.log_dir, "val_plots")
+
     R_errs, t_errs = [], []
     key = jax.random.PRNGKey(0)
     for i in range(len(val_ds)):
@@ -167,7 +172,7 @@ def validate(cfg, params, gats_cfg):
             num_leaf=cfg.datamodule.num_leaf,
             num_points=len(item["keypoints3d"]))
         pipe = pipeline.PosePipeline(
-            sp_params, params, db,
+            sp_params, params, db, gats_config=gats_cfg,
             sp_config={"max_keypoints": 1024})
         img = item["image"][None, :, :, None]
         key, sub = jax.random.split(key)
@@ -180,6 +185,21 @@ def validate(cfg, params, gats_cfg):
             r, t = np.inf, np.inf
         R_errs.append(r)
         t_errs.append(t)
+
+        if i % plot_interval == 0:
+            # matched 2D keypoints vs GT-reprojected matched 3D points
+            m0 = np.asarray(out.matches0)[0]
+            kpts = np.asarray(out.keypoints2d)[0]
+            valid = m0 >= 0
+            if valid.sum() >= 1:
+                mk3d = item["keypoints3d"][m0[valid]]
+                reproj = geo.project_points(
+                    mk3d, item["query_intrinsic"],
+                    item["query_pose_gt"])
+                vis_utils.draw_matches(
+                    item["image"], kpts[valid], item["image"], reproj,
+                    save_path=osp.join(
+                        plot_dir, f"epoch{epoch}_item{i}.png"))
     metrics = geo.aggregate_metrics({"R_errs": R_errs, "t_errs": t_errs})
     print(f"[val] {metrics}")
     return metrics
