@@ -56,7 +56,8 @@ def inference_core(cfg, data_root, seq_dir, sfm_model_dir, sp_params,
         sp_config={"max_keypoints": cfg.max_keypoints},
         reproj_threshold=cfg.pnp.reproj_threshold,
         num_hypotheses=cfg.pnp.num_hypotheses,
-        refine_iters=cfg.pnp.refine_iters)
+        refine_iters=cfg.pnp.refine_iters,
+        use_pallas_match=bool(cfg.get("use_pallas_match", False)))
 
     evaluator = Evaluator()
     bs = cfg.batch_size
