@@ -168,10 +168,30 @@ def attention_propagation(p: Params, x: jnp.ndarray, source: jnp.ndarray,
                           num_heads: int) -> jnp.ndarray:
     """AttentionPropagation (GATs_SuperGlue.py:104-113): multi-head linear
     attention + MLP([2d→2d, InstanceNorm, ReLU, 2d→d]). Returns the delta (the
-    caller adds the residual)."""
-    q = _split_heads(_linear(x, p["proj_q"]), num_heads)
-    k = _split_heads(_linear(source, p["proj_k"]), num_heads)
-    v = _split_heads(_linear(source, p["proj_v"]), num_heads)
+    caller adds the residual).
+
+    The Q/K/V projections are fused into wider matmuls (QKV for
+    self-attention, KV for cross) — XLA does not merge separate dots over
+    the same operand, and one [N, D]x[D, 3D] feeds the MXU better than
+    three [N, D]x[D, D]."""
+    d = x.shape[-1]
+    if x is source:
+        w_qkv = jnp.concatenate(
+            [p["proj_q"]["w"], p["proj_k"]["w"], p["proj_v"]["w"]], axis=1)
+        b_qkv = jnp.concatenate(
+            [p["proj_q"]["b"], p["proj_k"]["b"], p["proj_v"]["b"]])
+        qkv = _linear(x, {"w": w_qkv, "b": b_qkv})
+        q = _split_heads(qkv[..., :d], num_heads)
+        k = _split_heads(qkv[..., d:2 * d], num_heads)
+        v = _split_heads(qkv[..., 2 * d:], num_heads)
+    else:
+        w_kv = jnp.concatenate(
+            [p["proj_k"]["w"], p["proj_v"]["w"]], axis=1)
+        b_kv = jnp.concatenate([p["proj_k"]["b"], p["proj_v"]["b"]])
+        kv = _linear(source, {"w": w_kv, "b": b_kv})
+        q = _split_heads(_linear(x, p["proj_q"]), num_heads)
+        k = _split_heads(kv[..., :d], num_heads)
+        v = _split_heads(kv[..., d:], num_heads)
     message = _linear(_merge_heads(linear_attention(q, k, v)), p["merge"])
     h = _linear(jnp.concatenate([x, message], axis=-1), p["mlp0"])
     h = jax.nn.relu(_instance_norm(h))
