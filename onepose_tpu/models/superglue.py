@@ -154,9 +154,26 @@ def softmax_attention(q, k, v):
 
 
 def attention_propagation(p, x, source, num_heads):
-    q = _split_heads(_linear(x, p["proj_q"]), num_heads)
-    k = _split_heads(_linear(source, p["proj_k"]), num_heads)
-    v = _split_heads(_linear(source, p["proj_v"]), num_heads)
+    # Q/K/V fused into wider matmuls (XLA won't merge separate dots over
+    # the same operand; see gats_spg.attention_propagation).
+    d = x.shape[-1]
+    if x is source:
+        w = jnp.concatenate(
+            [p["proj_q"]["w"], p["proj_k"]["w"], p["proj_v"]["w"]], axis=1)
+        b = jnp.concatenate(
+            [p["proj_q"]["b"], p["proj_k"]["b"], p["proj_v"]["b"]])
+        qkv = _linear(x, {"w": w, "b": b})
+        q = _split_heads(qkv[..., :d], num_heads)
+        k = _split_heads(qkv[..., d:2 * d], num_heads)
+        v = _split_heads(qkv[..., 2 * d:], num_heads)
+    else:
+        w_kv = jnp.concatenate(
+            [p["proj_k"]["w"], p["proj_v"]["w"]], axis=1)
+        b_kv = jnp.concatenate([p["proj_k"]["b"], p["proj_v"]["b"]])
+        kv = _linear(source, {"w": w_kv, "b": b_kv})
+        q = _split_heads(_linear(x, p["proj_q"]), num_heads)
+        k = _split_heads(kv[..., :d], num_heads)
+        v = _split_heads(kv[..., d:], num_heads)
     message = _linear(_merge_heads(softmax_attention(q, k, v)), p["merge"])
     return _apply_mlp_bn(p["mlp"], jnp.concatenate([x, message], axis=-1))
 

@@ -143,8 +143,17 @@ def dense_heads(params: Params, images: jnp.ndarray,
         else:
             x = jax.nn.relu(_conv2d(x, params[entry[0]]))
 
+    # Both heads' first convs read the same trunk output; fuse them into a
+    # single 128→512 conv (XLA does not merge convolutions) and split
+    # channels — per-channel results are identical.
+    w_heads = jnp.concatenate(
+        [params["convPa"]["w"], params["convDa"]["w"]], axis=-1)
+    b_heads = jnp.concatenate(
+        [params["convPa"]["b"], params["convDa"]["b"]])
+    heads = jax.nn.relu(_conv2d(x, {"w": w_heads, "b": b_heads}))
+    cpa, cda = heads[..., :256], heads[..., 256:]
+
     # Detector head: 65ch softmax, drop dustbin, 8x depth-to-space.
-    cpa = jax.nn.relu(_conv2d(x, params["convPa"]))
     logits = _conv2d(cpa, params["convPb"]).astype(jnp.float32)
     probs = jax.nn.softmax(logits, axis=-1)[..., :-1]  # [B, Hc, Wc, 64]
     b, hc, wc, _ = probs.shape
@@ -152,7 +161,6 @@ def dense_heads(params: Params, images: jnp.ndarray,
     scores = scores.transpose(0, 1, 3, 2, 4).reshape(b, hc * 8, wc * 8)
 
     # Descriptor head.
-    cda = jax.nn.relu(_conv2d(x, params["convDa"]))
     desc = _conv2d(cda, params["convDb"]).astype(jnp.float32)
     desc = desc / jnp.maximum(
         jnp.linalg.norm(desc, axis=-1, keepdims=True), 1e-12
