@@ -21,6 +21,16 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent compilation cache: the suite is dominated by CPU XLA compiles
+# of the same graphs; cache them across runs (safe to delete any time).
+_cache_dir = os.environ.get(
+    "ONEPOSE_TPU_JAX_CACHE",
+    os.path.join(os.path.expanduser("~"), ".cache", "onepose_tpu_jax"))
+os.makedirs(_cache_dir, exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", _cache_dir)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
 REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 if REPO_ROOT not in sys.path:
     sys.path.insert(0, REPO_ROOT)
