@@ -18,6 +18,41 @@ import sys
 import numpy as np
 
 
+def apply_tracking(tracker, db_keypoints3d, crop, K_crop, out, fi, pose):
+    """Per-frame BA-tracking control flow; returns ``(pose_final, source)``.
+
+    Reference control flow (/root/reference/inference_demo.py:253-299): the
+    first frame seeds a keyframe and uses the PnP pose; every later frame is
+    tracked (LK-flow/motion init → NN association → windowed BA) and
+    keyframes are refreshed each ``frame_interval``, gated on pose jumps.
+    Tracker failure falls back to the PnP pose.
+
+    ``out`` is a batch-1 :class:`onepose_tpu.pipeline.PoseOutput`.
+    """
+    kpts = np.asarray(out.keypoints2d)[0]
+    descs = np.asarray(out.descriptors2d)[0]
+    kmask = np.asarray(out.kpt_mask)[0]
+    m0 = np.asarray(out.matches0)[0]
+    matched = np.where((m0 >= 0) & kmask)[0]
+
+    def _add_kf():
+        if pose is None or len(matched) < 8:
+            return False
+        return tracker.add_keyframe(
+            crop, kpts, descs, kmask, pose, K_crop,
+            mkpts3d=db_keypoints3d[m0[matched]], kpt_indices=matched)
+
+    if not tracker.frames:
+        _add_kf()
+        return pose, "pnp"
+    tracked, tinfo = tracker.track(crop, kpts, descs, kmask, K_crop)
+    if fi % tracker.frame_interval == 0:
+        _add_kf()
+    if tracked is None:
+        return pose, "pnp"
+    return tracked, f"track:{tinfo['mode']}"
+
+
 def inference_core(cfg):
     import jax
 
@@ -67,8 +102,6 @@ def inference_core(cfg):
         refine_iters=cfg.pnp.refine_iters)
 
     tracker = BATracker() if cfg.use_tracking else None
-    if cfg.use_tracking:
-        print("[demo] WARNING: BA tracking refinement is experimental")
 
     frames = sorted(
         glob.glob(osp.join(seq_dir, "color_full", "*.png")),
@@ -76,6 +109,7 @@ def inference_core(cfg):
     key = jax.random.PRNGKey(12345)
     pose_prev = None
     frame_dir = osp.join(cfg.output.demo_dir, "frames")
+    pose_log = []
     import cv2
 
     for fi, p in enumerate(frames):
@@ -91,29 +125,33 @@ def inference_core(cfg):
         success = bool(np.asarray(out.success)[0])
         n_inliers = int(np.asarray(out.num_inliers)[0])
         pose = np.asarray(out.poses)[0] if success else None
+        pose_final, source = pose, "pnp"
 
-        if tracker is not None and pose is not None:
-            kpts = np.asarray(out.keypoints2d)[0]
-            descs = np.asarray(out.descriptors2d)[0]
-            m0 = np.asarray(out.matches0)[0]
-            matched = np.where(m0 >= 0)[0]
-            if fi % 5 == 0 and len(matched) >= 8:
-                tracker.add_keyframe(
-                    res.crop, kpts, descs,
-                    np.ones(len(kpts), bool), pose, res.K_crop,
-                    mkpts3d=db.keypoints3d[m0[matched]],
-                    kpt_indices=matched)
+        if tracker is not None:
+            pose_final, source = apply_tracking(
+                tracker, db.keypoints3d, res.crop, res.K_crop, out, fi,
+                pose)
 
         # fall back to full detection when PnP consensus is weak
         pose_prev = pose if (success and n_inliers >= 8) else None
+        pose_log.append({
+            "frame": osp.basename(p), "source": source,
+            "inliers": n_inliers,
+            "pose": None if pose_final is None else pose_final.tolist()})
 
         img_bgr = cv2.imread(p)
         vis_utils.save_demo_image(
-            pose, K_full, img_bgr, box3d, draw_box=pose is not None,
+            pose_final, K_full, img_bgr, box3d,
+            draw_box=pose_final is not None,
             save_path=osp.join(frame_dir, osp.basename(p)))
         if fi % 20 == 0:
             print(f"[demo] frame {fi}/{len(frames)} "
-                  f"inliers={n_inliers} success={success}")
+                  f"inliers={n_inliers} success={success} source={source}")
+
+    import json
+
+    with open(osp.join(cfg.output.demo_dir, "poses.json"), "w") as f:
+        json.dump(pose_log, f)
 
     video = vis_utils.make_video(
         frame_dir, osp.join(cfg.output.demo_dir, "demo_video.mp4"))

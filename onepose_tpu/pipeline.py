@@ -29,6 +29,7 @@ class PoseOutput(NamedTuple):
     matches0: jnp.ndarray      # [B, K] int32 (3D indices, -1 invalid)
     keypoints2d: jnp.ndarray   # [B, K, 2]
     descriptors2d: jnp.ndarray  # [B, K, D] query descriptors (for trackers)
+    kpt_mask: jnp.ndarray      # [B, K] valid-keypoint mask
 
 
 def poses_from_matches(keypoints2d: jnp.ndarray, kpt_mask: jnp.ndarray,
@@ -104,6 +105,7 @@ def _frame_to_pose_jit(sp_params, gats_params, db, images, Ks, keys,
         matches0=match.matches0,
         keypoints2d=det.keypoints,
         descriptors2d=det.descriptors,
+        kpt_mask=det.mask,
     )
 
 

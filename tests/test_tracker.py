@@ -91,6 +91,81 @@ def test_keyframe_gating():
         frames[1]["descriptors"], np.ones(n, bool), bad_pose, K)
 
 
+def test_demo_apply_tracking_drives_poses():
+    """The demo CLI's tracking flow: frame 0 seeds a keyframe (PnP pose);
+    later frames' poses must come from the tracker and stay within the
+    1.5 cm / 1.5 deg synthetic-sequence tolerance."""
+    import sys
+    import os.path as osp
+
+    sys.path.insert(0, osp.dirname(osp.dirname(osp.abspath(__file__))))
+    import jax.numpy as jnp
+
+    from inference_demo import apply_tracking
+    from onepose_tpu.pipeline import PoseOutput
+
+    rng = np.random.default_rng(2)
+    K, pts3d, frames = make_plane_sequence(rng)
+    n = len(pts3d)
+
+    def fake_out(fr):
+        z = jnp.zeros(1)
+        return PoseOutput(
+            poses=jnp.asarray(fr["pose"])[None],
+            num_inliers=z, num_matches=z, success=jnp.ones(1, bool),
+            matches0=jnp.arange(n)[None],
+            keypoints2d=jnp.asarray(fr["keypoints"])[None],
+            descriptors2d=jnp.asarray(fr["descriptors"])[None],
+            kpt_mask=jnp.ones((1, n), bool))
+
+    tracker = BATracker(win_size=6, pnp_hypotheses=128, ba_iterations=6)
+    pose0, src0 = apply_tracking(
+        tracker, pts3d, frames[0]["image"], K, fake_out(frames[0]), 0,
+        frames[0]["pose"])
+    assert src0 == "pnp" and len(tracker.frames) == 1
+
+    for i in (1, 2, 3):
+        # perturbed PnP pose: if the tracker is live, the final pose must
+        # NOT be the PnP input
+        pnp_pose = frames[i]["pose"].copy()
+        pnp_pose[:3, 3] += 0.003
+        pose, src = apply_tracking(
+            tracker, pts3d, frames[i]["image"], K, fake_out(frames[i]), i,
+            pnp_pose)
+        assert src.startswith("track:"), (i, src)
+        assert not np.allclose(pose, pnp_pose)
+        r_err, t_err = geo.query_pose_error(pose, frames[i]["pose"])
+        assert r_err < 1.5 and t_err < 1.5, (i, r_err, t_err)
+
+
+def test_demo_apply_tracking_pnp_fallback():
+    """With an empty tracker and a failed PnP pose, the flow must return
+    the PnP result unchanged and not crash."""
+    import sys
+    import os.path as osp
+
+    sys.path.insert(0, osp.dirname(osp.dirname(osp.abspath(__file__))))
+    import jax.numpy as jnp
+
+    from inference_demo import apply_tracking
+    from onepose_tpu.pipeline import PoseOutput
+
+    n = 16
+    out = PoseOutput(
+        poses=jnp.zeros((1, 3, 4)), num_inliers=jnp.zeros(1),
+        num_matches=jnp.zeros(1), success=jnp.zeros(1, bool),
+        matches0=-jnp.ones((1, n), jnp.int32),
+        keypoints2d=jnp.zeros((1, n, 2)),
+        descriptors2d=jnp.zeros((1, n, 8)),
+        kpt_mask=jnp.zeros((1, n), bool))
+    tracker = BATracker()
+    pose, src = apply_tracking(
+        tracker, np.zeros((4, 3)), np.zeros((32, 32), np.float32),
+        np.eye(3), out, 0, None)
+    assert pose is None and src == "pnp"
+    assert len(tracker.frames) == 0
+
+
 def test_motion_prediction_fallback():
     tracker = BATracker()
     p0 = np.eye(4)[:3]
