@@ -177,6 +177,22 @@ class GATsSPGDataset:
                 ann["pose_file"]).astype(np.float32)
         return item
 
+    def get_query(self, index: int):
+        """Query-side only (image + GT intrinsics/pose) — for batched
+        validation where the object DB is built once per object instead of
+        re-read per item."""
+        from onepose_tpu.sfm.extract import load_gray
+        from onepose_tpu.utils import path_utils
+
+        ann = self.items[index]
+        item = {"image": load_gray(ann["img_file"])}
+        color = ann["img_file"]
+        item["query_intrinsic"] = np.loadtxt(
+            path_utils.get_intrin_path_by_color(color)).astype(np.float32)
+        item["query_pose_gt"] = np.loadtxt(
+            ann["pose_file"]).astype(np.float32)
+        return item
+
     # ------------------------------------------------------------------
     def batches(self, batch_size: int, shuffle: bool = True,
                 drop_last: bool = True,

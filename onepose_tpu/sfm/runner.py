@@ -95,18 +95,24 @@ def run_sfm(img_lists: Sequence[str], outputs_dir: str, sp_params,
             img_lists, Ks, poses, sizes)
         colmap_io.write_model(cameras, images_m, {}, lay["empty_dir"])
 
-    # COLMAP-consumable database (interchange only; not on the compute path)
+    # One epipolar-verification pass shared by the database export and the
+    # triangulation stage.
+    verification = triangulate.verify_matches(
+        lay["feature_out"], lay["matches_out"], pair_list, Ks, poses)
+
+    # COLMAP-consumable database (interchange only; not on the compute
+    # path) with verified two_view_geometries rows (F/E/relative pose).
     db_path = osp.join(lay["deep_sfm_dir"], "database.db")
     if redo or not osp.exists(db_path):
         from onepose_tpu.utils.colmap_db import export_database
 
         os.makedirs(lay["deep_sfm_dir"], exist_ok=True)
         export_database(lay["feature_out"], lay["matches_out"], pair_list,
-                        Ks, sizes, None, db_path)
+                        Ks, sizes, verification[2], db_path)
 
     stats = triangulate.triangulate_from_h5(
         lay["feature_out"], lay["matches_out"], pair_list, Ks, poses,
-        sizes, lay["model_dir"])
+        sizes, lay["model_dir"], verification=verification)
 
     pp_stats = postprocess.postprocess(
         lay["model_dir"], lay["feature_out"], img_lists, lay["anno_dir"],

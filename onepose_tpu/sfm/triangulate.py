@@ -102,6 +102,75 @@ def verify_pair(F, uv0, uv1, threshold=EPIPOLAR_THRESHOLD):
     return np.asarray(d < threshold)
 
 
+def verify_matches(feature_path: str, match_path: str,
+                   pairs: Sequence[Tuple[str, str]],
+                   Ks: Dict[str, np.ndarray],
+                   poses: Dict[str, np.ndarray],
+                   epipolar_threshold: float = EPIPOLAR_THRESHOLD):
+    """Known-pose epipolar (Sampson) verification of every match pair.
+
+    Returns (feats_uv, verified, geoms):
+    - feats_uv: {name: [N, 2] keypoints}
+    - verified: [(name0, name1, idx_pairs [M, 2])] surviving matches
+    - geoms: {(name0, name1): {"matches", "F", "E", "H", "qvec", "tvec"}}
+      per-pair two-view geometry from the known poses (E = [t]x R_rel,
+      F = K1^-T E K0^-1, relative pose as qvec/tvec) — the data the
+      reference imports into COLMAP's two_view_geometries table
+      (/root/reference/src/utils/colmap/database.py:205-226).
+    """
+    import h5py
+
+    from onepose_tpu.sfm.match import names_to_pair
+
+    img_lists = list(dict.fromkeys([p for pair in pairs for p in pair]))
+    feats_uv: Dict[str, np.ndarray] = {}
+    with h5py.File(feature_path, "r") as ff:
+        for name in img_lists:
+            feats_uv[name] = ff[name]["keypoints"][()].astype(np.float32)
+
+    verified = []
+    geoms: Dict[Tuple[str, str], dict] = {}
+    seen = set()
+    with h5py.File(match_path, "r") as mf:
+        for name0, name1 in pairs:
+            key = (name0, name1)
+            if key in seen or (name1, name0) in seen:
+                continue
+            seen.add(key)
+            pair_name = names_to_pair(name0, name1)
+            if pair_name not in mf:
+                continue
+            matches0 = mf[pair_name]["matches0"][()]
+            valid = matches0 > -1
+            if valid.sum() == 0:
+                continue
+            idx0 = np.where(valid)[0]
+            idx1 = matches0[valid]
+            pose0 = np.asarray(poses[name0], np.float64)
+            pose1 = np.asarray(poses[name1], np.float64)
+            R_rel = pose1[:3, :3] @ pose0[:3, :3].T
+            t_rel = pose1[:3, 3] - R_rel @ pose0[:3, 3]
+            tx = np.array([
+                [0, -t_rel[2], t_rel[1]],
+                [t_rel[2], 0, -t_rel[0]],
+                [-t_rel[1], t_rel[0], 0],
+            ])
+            E = tx @ R_rel
+            F = (np.linalg.inv(np.asarray(Ks[name1])).T @ E
+                 @ np.linalg.inv(np.asarray(Ks[name0])))
+            ok = verify_pair(F, feats_uv[name0][idx0],
+                             feats_uv[name1][idx1], epipolar_threshold)
+            if ok.sum() == 0:
+                continue
+            idx = np.stack([idx0[ok], idx1[ok]], axis=1)
+            verified.append((name0, name1, idx))
+            geoms[(name0, name1)] = {
+                "matches": idx, "F": F, "E": E, "H": np.eye(3),
+                "qvec": rotmat2qvec(R_rel), "tvec": t_rel,
+            }
+    return feats_uv, verified, geoms
+
+
 # ---------------------------------------------------------------------------
 # Track building (union-find)
 # ---------------------------------------------------------------------------
@@ -160,10 +229,18 @@ def build_tracks(num_kpts: Dict[str, int],
 # Multi-view DLT triangulation (JAX, vmapped over tracks)
 # ---------------------------------------------------------------------------
 
-def _triangulate_batch_host(uvs, Ps, mask):
-    import jax
+_triangulate_batch_jit = None
 
-    return jax.jit(_triangulate_batch)(uvs, Ps, mask)
+
+def _triangulate_batch_host(uvs, Ps, mask):
+    # One module-level jit wrapper: a fresh jax.jit per call would re-trace
+    # every time (each wrapper owns its own cache).
+    global _triangulate_batch_jit
+    if _triangulate_batch_jit is None:
+        import jax
+
+        _triangulate_batch_jit = jax.jit(_triangulate_batch)
+    return _triangulate_batch_jit(uvs, Ps, mask)
 
 
 def _triangulate_batch(uvs, Ps, mask):
@@ -246,6 +323,7 @@ def _triangulate_tracks_once(tracks, feats_uv, Ks, poses,
     centers = np.zeros((T, M, 3), np.float32)
 
     P_of, C_of = {}, {}
+    name_id = {}
     for name in feats_uv:
         pose = np.asarray(poses[name], np.float64)
         R, t = pose[:3, :3], pose[:3, 3]
@@ -253,13 +331,16 @@ def _triangulate_tracks_once(tracks, feats_uv, Ks, poses,
                       np.concatenate([R, t[:, None]], axis=1)
                       ).astype(np.float32)
         C_of[name] = (-R.T @ t).astype(np.float32)
+        name_id[name] = len(name_id)
 
+    img_ids = np.full((T, M), -1, np.int64)
     for ti, obs in enumerate(tracks):
         for mi, (name, ki) in enumerate(obs[:M]):
             uvs[ti, mi] = feats_uv[name][ki]
             Ps[ti, mi] = P_of[name]
             centers[ti, mi] = C_of[name]
             mask[ti, mi] = True
+            img_ids[ti, mi] = name_id[name]
 
     import jax.numpy as jnp
 
@@ -271,13 +352,17 @@ def _triangulate_tracks_once(tracks, feats_uv, Ks, poses,
     n_obs = mask.sum(axis=1)
     n_hyp = 8
     rng = np.random.default_rng(0)
+    # Vectorized two-distinct-sample per (track, hypothesis): draw a in
+    # [0, c), b in [0, c-1) and bump b past a (every track has >= 2 obs).
+    c = n_obs[:, None]  # [T, 1]
+    a = (rng.random((T, n_hyp)) * c).astype(np.int64)
+    b = (rng.random((T, n_hyp)) * (c - 1)).astype(np.int64)
+    b += b >= a
     hyp_mask = np.zeros((T, n_hyp, M), bool)
-    for ti in range(T):
-        c = int(n_obs[ti])
-        for h in range(n_hyp):
-            a, b = rng.choice(c, 2, replace=False) if c > 2 else (0, 1)
-            hyp_mask[ti, h, a] = True
-            hyp_mask[ti, h, b] = True
+    t_idx = np.arange(T)[:, None]
+    h_idx = np.arange(n_hyp)[None, :]
+    hyp_mask[t_idx, h_idx, a] = True
+    hyp_mask[t_idx, h_idx, b] = True
 
     uvs_h = np.broadcast_to(uvs[:, None], (T, n_hyp, M, 2)).reshape(
         T * n_hyp, M, 2)
@@ -302,22 +387,21 @@ def _triangulate_tracks_once(tracks, feats_uv, Ks, poses,
     xyz2, err2, z2 = np.asarray(xyz2), np.asarray(err2), np.asarray(z2)
     good2 = good_obs & (err2 < max_reproj) & (z2 > 0)
 
-    # resolve per-image conflicts: keep the lower-error observation
-    for ti in range(T):
-        seen_img = {}
-        for mi in range(min(len(tracks[ti]), M)):
-            if not good2[ti, mi]:
-                continue
-            name = tracks[ti][mi][0]
-            if name in seen_img:
-                prev = seen_img[name]
-                if err2[ti, mi] < err2[ti, prev]:
-                    good2[ti, prev] = False
-                    seen_img[name] = mi
-                else:
-                    good2[ti, mi] = False
-            else:
-                seen_img[name] = mi
+    # resolve per-image conflicts (two keypoints of one image in a track):
+    # keep the lower-error observation. Vectorized: group the flat (track,
+    # image) pairs with a stable lexsort keyed by error and keep each
+    # group's first element. Invalid slots group under image id -1 and are
+    # already ~good2, so the final AND leaves them untouched.
+    t_rep = np.repeat(np.arange(T), M)
+    img_flat = np.where(good2, img_ids, -1).ravel()
+    err_flat = np.where(good2, err2, np.inf).ravel()
+    order = np.lexsort((err_flat, img_flat, t_rep))
+    st, si = t_rep[order], img_flat[order]
+    first = np.ones(T * M, bool)
+    first[1:] = (st[1:] != st[:-1]) | (si[1:] != si[:-1])
+    keeper = np.zeros(T * M, bool)
+    keeper[order] = first
+    good2 &= keeper.reshape(T, M)
 
     # triangulation angle: max pairwise angle between viewing rays
     rays = xyz2[:, None, :] - centers          # [T, M, 3]
@@ -368,51 +452,23 @@ def triangulate_from_h5(feature_path: str, match_path: str,
                         sizes: Dict[str, Tuple[int, int]],
                         model_out_dir: str,
                         epipolar_threshold: float = EPIPOLAR_THRESHOLD,
+                        verification=None,
                         verbose: bool = True) -> dict:
     """Full pipeline from feature/match HDF5 files to a COLMAP-format model
-    directory. Returns model_analyzer-style stats."""
-    import h5py
+    directory. Returns model_analyzer-style stats.
 
-    from onepose_tpu.sfm.match import names_to_pair
-
+    verification: optional precomputed ``verify_matches`` result
+    (feats_uv, verified, geoms) — e.g. shared with the database export —
+    to avoid verifying twice."""
     img_lists = list(dict.fromkeys(
         [p for pair in pairs for p in pair]))
 
-    feats_uv: Dict[str, np.ndarray] = {}
-    with h5py.File(feature_path, "r") as ff:
-        for name in img_lists:
-            feats_uv[name] = ff[name]["keypoints"][()].astype(np.float32)
-
     # 1. epipolar verification per pair
-    verified = []
-    seen = set()
-    with h5py.File(match_path, "r") as mf:
-        for name0, name1 in pairs:
-            key = (name0, name1)
-            if key in seen or (name1, name0) in seen:
-                continue
-            seen.add(key)
-            pair_name = names_to_pair(name0, name1)
-            if pair_name not in mf:
-                continue
-            matches0 = mf[pair_name]["matches0"][()]
-            valid = matches0 > -1
-            if valid.sum() == 0:
-                continue
-            idx0 = np.where(valid)[0]
-            idx1 = matches0[valid]
-            pose0 = np.asarray(poses[name0], np.float64)
-            pose1 = np.asarray(poses[name1], np.float64)
-            F = fundamental_from_poses(
-                Ks[name0], pose0[:3, :3], pose0[:3, 3],
-                Ks[name1], pose1[:3, :3], pose1[:3, 3])
-            ok = verify_pair(F, feats_uv[name0][idx0],
-                             feats_uv[name1][idx1], epipolar_threshold)
-            if ok.sum() == 0:
-                continue
-            verified.append(
-                (name0, name1,
-                 np.stack([idx0[ok], idx1[ok]], axis=1)))
+    if verification is None:
+        verification = verify_matches(
+            feature_path, match_path, pairs, Ks, poses,
+            epipolar_threshold)
+    feats_uv, verified, _ = verification
 
     # 2. tracks
     num_kpts = {n: feats_uv[n].shape[0] for n in img_lists}

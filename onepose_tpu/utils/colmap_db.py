@@ -108,7 +108,11 @@ class ColmapDatabase:
 
     def add_two_view_geometry(self, image_id1: int, image_id2: int,
                               matches: np.ndarray,
-                              F=None, E=None, H=None, config: int = 2):
+                              F=None, E=None, H=None,
+                              qvec=None, tvec=None, config: int = 2):
+        """config follows COLMAP's TwoViewGeometry enum: 2 = UNCALIBRATED
+        (F only), 3 = CALIBRATED (E from known intrinsics) — the pipeline's
+        known-pose verification writes config=3 rows."""
         m = np.asarray(matches, np.uint32)
         if image_id1 > image_id2:
             m = m[:, ::-1]
@@ -121,8 +125,8 @@ class ColmapDatabase:
              _blob(F if F is not None else eye, np.float64),
              _blob(E if E is not None else eye, np.float64),
              _blob(H if H is not None else eye, np.float64),
-             _blob([1, 0, 0, 0], np.float64),
-             _blob([0, 0, 0], np.float64)))
+             _blob(qvec if qvec is not None else [1, 0, 0, 0], np.float64),
+             _blob(tvec if tvec is not None else [0, 0, 0], np.float64)))
 
     def commit(self):
         self.conn.commit()
@@ -140,9 +144,14 @@ def export_database(feature_path: str, match_path: str,
                     db_path: str) -> Dict[str, int]:
     """Build a COLMAP database from the pipeline's feature/match artifacts.
 
-    verified: optional {(name0, name1): [M, 2] epipolar-verified index
-    pairs} to populate two_view_geometries (the matches table always gets
-    the raw matches). Returns {image name: image_id}.
+    verified: optional {(name0, name1): value} to populate
+    two_view_geometries (the matches table always gets the raw matches).
+    Each value is either an [M, 2] array of epipolar-verified index pairs,
+    or a dict {"matches", "F", "E", "H", "qvec", "tvec"} as produced by
+    ``sfm.triangulate.verify_matches`` — the latter writes full
+    calibrated-geometry rows (config=3) matching the reference's import
+    (/root/reference/src/sfm/triangulation.py:73-114). Returns
+    {image name: image_id}.
     """
     import h5py
 
@@ -177,8 +186,14 @@ def export_database(feature_path: str, match_path: str,
                 [np.where(valid)[0], matches0[valid]], axis=1)
             db.add_matches(name_to_id[name0], name_to_id[name1], idx)
             if verified is not None and (name0, name1) in verified:
-                db.add_two_view_geometry(
-                    name_to_id[name0], name_to_id[name1],
-                    verified[(name0, name1)])
+                v = verified[(name0, name1)]
+                if isinstance(v, dict):
+                    db.add_two_view_geometry(
+                        name_to_id[name0], name_to_id[name1], v["matches"],
+                        F=v.get("F"), E=v.get("E"), H=v.get("H"),
+                        qvec=v.get("qvec"), tvec=v.get("tvec"), config=3)
+                else:
+                    db.add_two_view_geometry(
+                        name_to_id[name0], name_to_id[name1], v)
     db.close()
     return name_to_id

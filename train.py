@@ -125,16 +125,20 @@ def train(cfg):
     return state
 
 
-def validate(cfg, params, gats_cfg, epoch=0, n_plots=10):
+def validate(cfg, params, gats_cfg, epoch=0, n_plots=10, val_batch=8):
     """Validation with live SuperPoint extraction + on-device PnP
     (reference validation_step semantics), plus reprojection match figures
     every val_plot_interval items (reference draw_reprojection_pair role,
-    GATsSPG_lightning_model.py:65-68)."""
+    GATsSPG_lightning_model.py:65-68).
+
+    Batched: items are grouped by object so each object's 3D DB is built
+    and uploaded ONCE, and frames run through the fused pipeline in
+    fixed-size batches (last chunk padded so the jitted program is reused).
+    """
     import jax
 
     from onepose_tpu import pipeline
     from onepose_tpu.datasets.gats_dataset import GATsSPGDataset
-    from onepose_tpu.models import superpoint
     from onepose_tpu.utils import geometry as geo, model_io, vis_utils
 
     if not osp.exists(cfg.datamodule.val_anno_file):
@@ -157,51 +161,68 @@ def validate(cfg, params, gats_cfg, epoch=0, n_plots=10):
     plot_interval = max(len(val_ds) // n_plots, 1)
     plot_dir = osp.join(cfg.logging.log_dir, "val_plots")
 
-    R_errs, t_errs = [], []
+    # group items by object DB (the avg-anno path identifies the object)
+    groups = {}
+    for i, ann in enumerate(val_ds.items):
+        groups.setdefault(ann["avg_anno3d_file"], []).append(i)
+
+    R_errs = np.full(len(val_ds), np.inf)
+    t_errs = np.full(len(val_ds), np.inf)
     key = jax.random.PRNGKey(0)
-    for i in range(len(val_ds)):
-        item = val_ds.get(i)
+    t0 = time.time()
+    for anno_file in sorted(groups):
+        idx_list = groups[anno_file]
+        rng = np.random.default_rng(cfg.seed)
+        kpts3d, avg_desc, leaf_desc, num3d = val_ds._read_anno3d(
+            val_ds.items[idx_list[0]], rng)
         db = ObjectDB(
-            keypoints3d=item["keypoints3d"],
-            descriptors3d=item["descriptors3d_db"],
-            scores3d=np.zeros(len(item["keypoints3d"]), np.float32),
-            descriptors2d_db=item["descriptors2d_db"],
-            scores2d_db=np.zeros(
-                len(item["descriptors2d_db"]), np.float32),
-            mask3d=np.ones(len(item["keypoints3d"]), bool),
-            num_leaf=cfg.datamodule.num_leaf,
-            num_points=len(item["keypoints3d"]))
+            keypoints3d=kpts3d, descriptors3d=avg_desc,
+            scores3d=np.zeros(len(kpts3d), np.float32),
+            descriptors2d_db=leaf_desc,
+            scores2d_db=np.zeros(len(leaf_desc), np.float32),
+            mask3d=np.arange(len(kpts3d)) < num3d,
+            num_leaf=cfg.datamodule.num_leaf, num_points=num3d)
         pipe = pipeline.PosePipeline(
             sp_params, params, db, gats_config=gats_cfg,
             sp_config={"max_keypoints": 1024})
-        img = item["image"][None, :, :, None]
-        key, sub = jax.random.split(key)
-        out = pipe(img, item["query_intrinsic"][None],
-                   jax.random.split(sub, 1))
-        if bool(np.asarray(out.success)[0]):
-            r, t = geo.query_pose_error(
-                np.asarray(out.poses)[0], item["query_pose_gt"])
-        else:
-            r, t = np.inf, np.inf
-        R_errs.append(r)
-        t_errs.append(t)
 
-        if i % plot_interval == 0:
-            # matched 2D keypoints vs GT-reprojected matched 3D points
-            m0 = np.asarray(out.matches0)[0]
-            kpts = np.asarray(out.keypoints2d)[0]
-            valid = m0 >= 0
-            if valid.sum() >= 1:
-                mk3d = item["keypoints3d"][m0[valid]]
-                reproj = geo.project_points(
-                    mk3d, item["query_intrinsic"],
-                    item["query_pose_gt"])
-                vis_utils.draw_matches(
-                    item["image"], kpts[valid], item["image"], reproj,
-                    save_path=osp.join(
-                        plot_dir, f"epoch{epoch}_item{i}.png"))
-    metrics = geo.aggregate_metrics({"R_errs": R_errs, "t_errs": t_errs})
-    print(f"[val] {metrics}")
+        for start in range(0, len(idx_list), val_batch):
+            chunk = idx_list[start:start + val_batch]
+            items = [val_ds.get_query(int(i)) for i in chunk]
+            pad = val_batch - len(chunk)
+            images = np.stack(
+                [it["image"] for it in items]
+                + [items[-1]["image"]] * pad)[..., None]
+            Ks = np.stack(
+                [it["query_intrinsic"] for it in items]
+                + [items[-1]["query_intrinsic"]] * pad)
+            key, sub = jax.random.split(key)
+            out = pipe(images, Ks, jax.random.split(sub, val_batch))
+            succ = np.asarray(out.success)
+            poses = np.asarray(out.poses)
+            for j, gi in enumerate(chunk):
+                if succ[j]:
+                    R_errs[gi], t_errs[gi] = geo.query_pose_error(
+                        poses[j], items[j]["query_pose_gt"])
+                if gi % plot_interval == 0:
+                    # matched 2D kpts vs GT-reprojected matched 3D points
+                    m0 = np.asarray(out.matches0)[j]
+                    kpts = np.asarray(out.keypoints2d)[j]
+                    valid = (m0 >= 0) & np.asarray(out.kpt_mask)[j]
+                    if valid.sum() >= 1:
+                        mk3d = kpts3d[m0[valid]]
+                        reproj = geo.project_points(
+                            mk3d, items[j]["query_intrinsic"],
+                            items[j]["query_pose_gt"])
+                        vis_utils.draw_matches(
+                            items[j]["image"], kpts[valid],
+                            items[j]["image"], reproj,
+                            save_path=osp.join(
+                                plot_dir, f"epoch{epoch}_item{gi}.png"))
+    metrics = geo.aggregate_metrics(
+        {"R_errs": list(R_errs), "t_errs": list(t_errs)})
+    print(f"[val] {metrics} ({time.time() - t0:.1f}s, "
+          f"{len(val_ds)} items, {len(groups)} objects)")
     return metrics
 
 
