@@ -57,7 +57,8 @@ def _serve_step(sp_params, gats_params, db_stack, obj_idx, images, Ks,
         poses=pnp.pose, num_inliers=pnp.num_inliers,
         num_matches=jnp.sum(match.matches0 >= 0, axis=1).astype(jnp.int32),
         success=pnp.success, matches0=match.matches0,
-        keypoints2d=det.keypoints, descriptors2d=det.descriptors)
+        keypoints2d=det.keypoints, descriptors2d=det.descriptors,
+        kpt_mask=det.mask)
 
 
 class PoseRequest(NamedTuple):

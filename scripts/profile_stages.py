@@ -1,0 +1,157 @@
+#!/usr/bin/env python
+"""Per-stage device-compute profiling on the real chip.
+
+Timing protocol for the tunneled backend (see docs/DESIGN.md §8):
+- launches are async (~0.2 ms) but every host fetch costs a ~29 ms HTTP
+  round trip, so each measurement chains N launches through a scalar
+  dependency and fetches ONE scalar at the end;
+- the first chained block after compile absorbs a hidden warm-up
+  (autotuning / first real execution) that can cost seconds — every
+  measurement runs a throwaway block first and reports the best of the
+  remaining blocks.
+"""
+import time
+
+import numpy as np
+
+
+def chain_time(f, n=30, blocks=3):
+    """f: scalar_eps -> scalar. Returns best ms/call over warm blocks."""
+    import jax.numpy as jnp
+
+    def block():
+        t0 = time.perf_counter()
+        o = jnp.float32(0.0)
+        for _ in range(n):
+            o = f(o * 0)
+        np.asarray(o)
+        return (time.perf_counter() - t0) / n * 1000
+
+    block()  # throwaway: compile + hidden first-execution warmup
+    return min(block() for _ in range(blocks))
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from onepose_tpu import pipeline
+    from onepose_tpu.datasets import anno
+    from onepose_tpu.models import gats_spg, superpoint
+
+    rng = np.random.default_rng(0)
+    key = jax.random.PRNGKey(0)
+    sp = superpoint.init_params(key)
+    gp = gats_spg.init_params(key)
+    B, H, W = 8, 512, 512
+    img = jax.device_put(rng.uniform(0, 1, (B, H, W, 1)).astype(np.float32))
+
+    rows = []
+
+    def report(name, ms):
+        rows.append((name, ms))
+        print(f"{name:40s} {ms:8.2f} ms/batch-{B}")
+
+    # --- SuperPoint pieces ---
+    def stem(x):
+        x = jax.nn.relu(superpoint._conv2d(x, sp["conv1a"]))
+        x = jax.nn.relu(superpoint._conv2d(x, sp["conv1b"]))
+        return superpoint._maxpool2(x)
+
+    f_stem = jax.jit(lambda e: jnp.sum(stem(img + e)))
+    report("sp stem (conv1a+1b+pool)", chain_time(f_stem))
+
+    f_dense = jax.jit(
+        lambda e: sum(jnp.sum(t) for t in superpoint.dense_heads(sp, img + e)))
+    report("sp dense_heads fp32", chain_time(f_dense))
+
+    f_dense_bf = jax.jit(
+        lambda e: sum(jnp.sum(t) for t in
+                      superpoint.dense_heads(sp, img + e, "bfloat16")))
+    report("sp dense_heads bf16", chain_time(f_dense_bf))
+
+    cfg = dict(superpoint.DEFAULT_CONFIG)
+    cfg["max_keypoints"] = 1024
+    citems = tuple(sorted(cfg.items()))
+
+    @jax.jit
+    def f_full(e):
+        o = superpoint._extract_jit(sp, img + e, citems)
+        return jnp.sum(o.scores) + jnp.sum(o.descriptors)
+
+    report("sp extract (dense+nms+select)", chain_time(f_full))
+
+    # --- GATs matcher ---
+    d2q = jax.device_put(rng.normal(size=(B, 1024, 256)).astype(np.float32))
+    d3 = jax.device_put(rng.normal(size=(B, 2000, 256)).astype(np.float32))
+    d2db = jax.device_put(
+        rng.normal(size=(B, 16000, 256)).astype(np.float32))
+    m2 = jax.device_put(np.ones((B, 1024), bool))
+    m3 = jax.device_put(np.ones((B, 2000), bool))
+    gcfg = dict(gats_spg.DEFAULT_CONFIG)
+
+    @jax.jit
+    def f_match(e):
+        data = {"descriptors2d_query": d2q + e, "descriptors3d_db": d3,
+                "descriptors2d_db": d2db, "mask2d": m2, "mask3d": m3}
+        return jnp.sum(gats_spg.forward(gp, data, gcfg).matches0)
+
+    report("gats matcher fp32", chain_time(f_match))
+
+    gcfg_bf = dict(gcfg)
+    gcfg_bf["compute_dtype"] = "bfloat16"
+
+    @jax.jit
+    def f_match_bf(e):
+        data = {"descriptors2d_query": d2q + e, "descriptors3d_db": d3,
+                "descriptors2d_db": d2db, "mask2d": m2, "mask3d": m3}
+        return jnp.sum(gats_spg.forward(gp, data, gcfg_bf).matches0)
+
+    report("gats matcher bf16", chain_time(f_match_bf))
+
+    # --- PnP ---
+    k2 = jax.device_put(rng.uniform(0, 512, (B, 1024, 2)).astype(np.float32))
+    k3 = jax.device_put(
+        rng.uniform(-0.1, 0.1, (B, 2000, 3)).astype(np.float32))
+    m0 = jax.device_put(rng.integers(-1, 2000, (B, 1024)).astype(np.int32))
+    msk = jax.device_put(np.ones((B, 1024), bool))
+    Ks = jax.device_put(np.broadcast_to(
+        np.array([[460., 0, 256], [0, 460., 256], [0, 0, 1]], np.float32),
+        (B, 3, 3)).copy())
+    keys = jax.random.split(jax.random.PRNGKey(1), B)
+
+    for nh in (512, 256):
+        @jax.jit
+        def f_pnp(e, nh=nh):
+            p = pipeline.poses_from_matches(
+                k2 + e, msk, m0, k3, Ks, keys, reproj_threshold=5.0,
+                num_hypotheses=nh, refine_iters=5)
+            return jnp.sum(p.pose)
+
+        report(f"pnp {nh} hypotheses", chain_time(f_pnp))
+
+    # --- full pipeline ---
+    P = 2000 - 8
+    idxs = rng.integers(8, 24, P)
+    total = int(idxs.sum())
+    db = anno.build_object_db(
+        avg_keypoints3d=rng.uniform(-0.1, 0.1, (P, 3)).astype(np.float32),
+        avg_descriptors3d=rng.normal(size=(256, P)).astype(np.float32),
+        avg_scores3d=rng.uniform(0, 1, (P, 1)).astype(np.float32),
+        clt_descriptors=rng.normal(size=(256, total)).astype(np.float32),
+        clt_scores=rng.uniform(0, 1, (total, 1)).astype(np.float32),
+        idxs=idxs, num_leaf=8, shape3d=2000)
+    pipe = pipeline.PosePipeline(
+        sp, gp, db, sp_config={"max_keypoints": 1024}, num_hypotheses=512)
+
+    def f_pipe(e):
+        r = pipe(img + e, Ks, keys)
+        return jnp.sum(r.poses)
+
+    ms = chain_time(f_pipe)
+    report("FULL pipeline", ms)
+    print(f"device throughput: {B / ms * 1000:.1f} frames/s")
+
+
+if __name__ == "__main__":
+    main()
