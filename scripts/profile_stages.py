@@ -10,9 +10,13 @@ Timing protocol for the tunneled backend (see docs/DESIGN.md §8):
   measurement runs a throwaway block first and reports the best of the
   remaining blocks.
 """
+import os
+import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def chain_time(f, n=30, blocks=3):

@@ -126,6 +126,7 @@ def test_inference_cli_integration(tmp_path):
     assert "cmd1" in txt
 
 
+@pytest.mark.slow
 def test_train_cli_integration(tmp_path):
     rng = np.random.default_rng(1)
     build_dataset(tmp_path, rng)

@@ -80,6 +80,7 @@ def demo_world(tmp_path_factory):
     gats_spg.DEFAULT_CONFIG.update(saved[1])
 
 
+@pytest.mark.slow
 def test_feature_matching_detector_cli(demo_world):
     import feature_matching_object_detector as fmod
 
@@ -112,6 +113,7 @@ def test_feature_matching_detector_cli(demo_world):
     assert K_crop.shape == (3, 3) and np.isfinite(K_crop).all()
 
 
+@pytest.mark.slow
 def test_inference_demo_cli(demo_world):
     import inference_demo as demo_cli
 
@@ -147,6 +149,7 @@ def test_inference_demo_cli(demo_world):
     assert len(log) == 6 and all(e["source"] == "pnp" for e in log)
 
 
+@pytest.mark.slow
 def test_inference_demo_cli_tracking(demo_world):
     """--use_tracking engages the BA tracker: the per-frame pose log must
     record tracker-sourced poses once a keyframe is live."""

@@ -43,6 +43,7 @@ def build_capture(tmp_path, rng, n_frames=6, hw=64):
     return obj
 
 
+@pytest.mark.slow
 def test_run_sfm_dispatch(tmp_path):
     rng = np.random.default_rng(0)
     build_capture(tmp_path, rng)

@@ -262,6 +262,7 @@ def test_merge_points():
     np.testing.assert_array_equal(idxs[1], [30])
 
 
+@pytest.mark.slow
 def test_run_sfm_full_runner_smoke(tmp_path):
     """The complete run_sfm path with real (random-weight) SuperPoint +
     SuperGlue on tiny textured frames: exercises extraction, pair

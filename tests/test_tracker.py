@@ -52,6 +52,7 @@ def make_plane_sequence(rng, n_frames=4, n_points=60, hw=320):
     return K, pts3d, frames
 
 
+@pytest.mark.slow
 def test_tracker_sequence():
     rng = np.random.default_rng(0)
     K, pts3d, frames = make_plane_sequence(rng)
@@ -91,6 +92,7 @@ def test_keyframe_gating():
         frames[1]["descriptors"], np.ones(n, bool), bad_pose, K)
 
 
+@pytest.mark.slow
 def test_demo_apply_tracking_drives_poses():
     """The demo CLI's tracking flow: frame 0 seeds a keyframe (PnP pose);
     later frames' poses must come from the tracker and stay within the

@@ -78,6 +78,7 @@ def test_train_step_reduces_loss():
     assert losses[-1] < losses[0] * 0.9, losses[:3] + losses[-3:]
 
 
+@pytest.mark.slow
 def test_data_parallel_step_matches_single_device():
     """Same batch, 1-device vs 8-device data-parallel: identical loss."""
     assert len(jax.devices()) >= 8, "conftest must provide 8 CPU devices"
@@ -130,6 +131,7 @@ def test_multistep_schedule():
     assert np.isclose(sched(25), 2.5e-4)
 
 
+@pytest.mark.slow
 def test_remat_matches_standard():
     """remat=True must change memory, not math: identical loss + grads."""
     rng = np.random.default_rng(5)
