@@ -63,22 +63,32 @@ def main():
     keys = jax.random.split(jax.random.PRNGKey(1), BATCH)
 
     # Warmup / compile. NOTE: on the tunneled TPU backend
-    # jax.block_until_ready returns before execution completes, so all
-    # timing below forces completion with a host fetch (np.asarray).
+    # jax.block_until_ready returns before execution completes, so timing
+    # forces completion with a host fetch (np.asarray). Every host fetch
+    # costs a ~29 ms HTTP round trip on this tunnel, so the steady-state
+    # measurement chains iterations through a scalar data dependency and
+    # fetches ONE scalar per block — measuring device throughput (the
+    # deployment-relevant number on directly-attached hardware) rather
+    # than tunnel latency. The first chained block is a throwaway: it
+    # absorbs a hidden first-execution/autotuning cost that can reach
+    # seconds on this backend.
+    import jax.numpy as jnp
+
     out = pipe(images, Ks, keys)
     np.asarray(out.poses)
 
-    # Pipelined steady state (launch a stream of batches, then drain), the
-    # production serving pattern; median over repeated blocks.
-    n_iters, n_blocks = 10, 3
+    n_iters, n_blocks = 20, 4
     fps_samples = []
-    for _ in range(n_blocks):
+    for blk in range(n_blocks):
         t0 = time.perf_counter()
-        outs = [pipe(images, Ks, keys) for _ in range(n_iters)]
-        for o in outs:
-            np.asarray(o.poses)
+        eps = jnp.float32(0.0)
+        for _ in range(n_iters):
+            out = pipe(images + eps * 0, Ks, keys)
+            eps = jnp.sum(out.poses)
+        np.asarray(eps)
         dt = time.perf_counter() - t0
-        fps_samples.append(BATCH * n_iters / dt)
+        if blk > 0:
+            fps_samples.append(BATCH * n_iters / dt)
     fps = float(np.median(fps_samples))
     print(json.dumps({
         "metric": "frames_per_sec_per_chip_frame_to_pose",

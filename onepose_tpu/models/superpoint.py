@@ -38,6 +38,15 @@ DEFAULT_CONFIG = {
     # remote Mosaic compile helper currently crashes (HTTP 500) lowering it
     # on the real chip — see docs/DESIGN.md §6.
     "fused_stem": False,
+    # "polyphase" computes the same stem in space-to-depth (block) form:
+    # both convs run on a 256x256 grid with 256-wide channel dims (full MXU
+    # lanes vs 64) and the 2x2 maxpool collapses into a max over the 4
+    # output phases. Same MACs up to fp reassociation. Measured on v5e
+    # end-to-end (interleaved A/B, chained launches): 21.3 vs 22.9
+    # ms/batch-8 for the full pipeline — polyphase wins despite 4x FLOP
+    # inflation of the zero-padded block kernel, because MXU utilization
+    # rises 3x and the pool/layout fuse downstream. See docs/DESIGN.md §6b.
+    "stem": "polyphase",
 }
 
 _ENCODER_CHANNELS = [
@@ -114,9 +123,76 @@ def _maxpool2(x: jnp.ndarray) -> jnp.ndarray:
     )
 
 
+def _polyphase_stem_weights(w1a: jnp.ndarray, b1a: jnp.ndarray,
+                            w1b: jnp.ndarray, b1b: jnp.ndarray):
+    """Re-index the stem convs into space-to-depth (block) form.
+
+    A stride-1 3x3 conv on the full-res grid becomes a 3x3 conv on the
+    half-res block grid whose channels enumerate (phase, channel) pairs:
+    output pixel (2i+py, 2j+px) reads input pixel (2(i+di)+qy, 2(j+dj)+qx),
+    i.e. full-res tap (u, v) = (2*di + qy - py, 2*dj + qx - px); taps
+    outside the 3x3 support get zero weight. Phases are enumerated
+    row-major (ph = 2*py + px) and channels phase-major (o = ph*C + c).
+
+    w1a: [3,3,1,C1] → [3,3,4,4*C1]; w1b: [3,3,C1,C2] → [3,3,4*C1,4*C2].
+    """
+    c1 = w1a.shape[-1]
+    c2 = w1b.shape[-1]
+    wa = jnp.zeros((3, 3, 4, 4 * c1), w1a.dtype)
+    wb = jnp.zeros((3, 3, 4 * c1, 4 * c2), w1b.dtype)
+    for py in range(2):
+        for px in range(2):
+            op = 2 * py + px
+            for qy in range(2):
+                for qx in range(2):
+                    ip = 2 * qy + qx
+                    for di in (-1, 0, 1):
+                        u = 2 * di + qy - py
+                        if not -1 <= u <= 1:
+                            continue
+                        for dj in (-1, 0, 1):
+                            v = 2 * dj + qx - px
+                            if not -1 <= v <= 1:
+                                continue
+                            wa = wa.at[di + 1, dj + 1, ip,
+                                       op * c1:(op + 1) * c1].set(
+                                w1a[u + 1, v + 1, 0])
+                            wb = wb.at[di + 1, dj + 1,
+                                       ip * c1:(ip + 1) * c1,
+                                       op * c2:(op + 1) * c2].set(
+                                w1b[u + 1, v + 1])
+    ba = jnp.tile(b1a, 4)
+    bb = jnp.tile(b1b, 4)
+    return wa, ba, wb, bb
+
+
+def _polyphase_stem(params: Params, x: jnp.ndarray) -> jnp.ndarray:
+    """conv1a+ReLU+conv1b+ReLU+2x2maxpool in space-to-depth form.
+
+    x: [B, H, W, 1] → [B, H/2, W/2, C1]. Exact up to fp reassociation vs
+    the direct path; both convs run at half resolution with 4x wider
+    channels (full 128-lane MXU tiles instead of 64), and the pool never
+    touches HBM — it is a max over the 4 phase groups of conv1b's output.
+    """
+    b, h, w, _ = x.shape
+    c1 = params["conv1b"]["w"].shape[-1]
+    wa, ba, wb, bb = _polyphase_stem_weights(
+        params["conv1a"]["w"], params["conv1a"]["b"],
+        params["conv1b"]["w"], params["conv1b"]["b"])
+    # space-to-depth: channel = 2*qy + qx for pixel (2i+qy, 2j+qx)
+    xb = x.reshape(b, h // 2, 2, w // 2, 2)
+    xb = xb.transpose(0, 1, 3, 2, 4).reshape(b, h // 2, w // 2, 4)
+    y = jax.nn.relu(_conv2d(xb, {"w": wa, "b": ba}))
+    y = jax.nn.relu(_conv2d(y, {"w": wb, "b": bb}))
+    # 2x2 maxpool stride 2 == max over the 4 output phases of each block
+    y = y.reshape(b, h // 2, w // 2, 4, c1)
+    return jnp.max(y, axis=3)
+
+
 def dense_heads(params: Params, images: jnp.ndarray,
                 compute_dtype: str = "float32",
-                fused_stem: bool = False):
+                fused_stem: bool = False,
+                stem: str = "polyphase"):
     """Shared encoder + both heads.
 
     images: [B, H, W, 1] grayscale in [0, 1]. H, W divisible by 8.
@@ -134,6 +210,9 @@ def dense_heads(params: Params, images: jnp.ndarray,
                   params["conv1a"]["w"], params["conv1a"]["b"],
                   params["conv1b"]["w"], params["conv1b"]["b"],
                   interpret=interpret)
+        encoder = _ENCODER_CHANNELS[3:]  # skip conv1a/conv1b/pool
+    elif stem == "polyphase":
+        x = _polyphase_stem(params, images.astype(cdt))
         encoder = _ENCODER_CHANNELS[3:]  # skip conv1a/conv1b/pool
     else:
         x = images.astype(cdt)
@@ -284,7 +363,8 @@ def _extract_jit(params: Params, images: jnp.ndarray, config_items):
     config = dict(config_items)
     scores, desc = dense_heads(
         params, images, config.get("compute_dtype", "float32"),
-        config.get("fused_stem", False))
+        config.get("fused_stem", False),
+        config.get("stem", "polyphase"))
     scores = simple_nms(scores, config["nms_radius"])
     return jax.vmap(lambda s, d: _select_keypoints_single(s, d, config))(
         scores, desc

@@ -25,6 +25,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from onepose_tpu.ops import lie
 
@@ -44,25 +45,62 @@ class PnPResult(NamedTuple):
 # to plain matmuls/solves instead.
 # ---------------------------------------------------------------------------
 
+def _inv_psd(A: jnp.ndarray) -> jnp.ndarray:
+    """Analytic inverse of a (well-shifted) symmetric PD matrix via nested
+    2x2 block Schur complements down to 3x3 adjugate inverses.
+
+    Batched Cholesky + triangular solves lower to sequential column loops
+    on TPU and dominate the RANSAC hypothesis stage; this is pure
+    elementwise math + tiny matmuls, fully parallel under vmap. D must be
+    divisible by 3. Unpivoted, so only safe for shifted PD systems (the
+    inverse-power-iteration use below needs direction, not digits).
+    """
+    D = A.shape[0]
+    if D == 3:
+        return _inv3(A)
+    m = 3 * ((D // 3) // 2)  # leading block size (multiple of 3)
+    P, Q = A[:m, :m], A[:m, m:]
+    S = A[m:, m:]
+    Pi = _inv_psd(P)
+    PiQ = Pi @ Q
+    Si = _inv_psd(S - Q.T @ PiQ)
+    TL = Pi + PiQ @ Si @ PiQ.T
+    TR = -PiQ @ Si
+    return jnp.concatenate([
+        jnp.concatenate([TL, TR], axis=1),
+        jnp.concatenate([TR.T, Si], axis=1),
+    ], axis=0)
+
+
 def smallest_eigvec(A: jnp.ndarray, iters: int = 8,
                     rq_iters: int = 0, shift: float = 1e-6) -> jnp.ndarray:
     """Eigenvector of symmetric PSD A ([D, D]) with the smallest eigenvalue:
-    inverse power iteration on one Cholesky factorization, optionally
-    followed by Rayleigh-quotient iterations (cubic convergence, but each
-    step is a pivoted LU solve — scalar-heavy on TPU, so off by default;
-    degenerate minimal samples are handled by the dedicated planar solver
-    instead)."""
+    inverse power iteration, optionally followed by Rayleigh-quotient
+    iterations (cubic convergence, but each step is a pivoted LU solve —
+    scalar-heavy on TPU, so off by default; degenerate minimal samples are
+    handled by the dedicated planar solver instead).
+
+    TPU shape: the shifted inverse comes from the analytic block-Schur
+    :func:`_inv_psd` (no Cholesky/triangular solves, which lower to
+    sequential loops), and the ``iters`` power steps collapse into
+    ``ceil(log2 iters)`` repeated squarings of A^-1 — identical iteration
+    math, all batched DxD matmuls under the RANSAC vmap. Frobenius
+    normalization between squarings prevents fp32 overflow of
+    lambda_max(A^-1)^(2^k)."""
     D = A.shape[0]
     eye = jnp.eye(D, dtype=A.dtype)
     scale = jnp.trace(A) / D + 1e-12
-    L = jax.scipy.linalg.cholesky(A + (shift * scale) * eye, lower=True)
-    v = jnp.ones((D,), A.dtype) / jnp.sqrt(jnp.float32(D))
+    Ainv = _inv_psd(A + (shift * scale) * eye)
 
-    def body(_, v):
-        y = jax.scipy.linalg.cho_solve((L, True), v)
-        return y / jnp.maximum(jnp.linalg.norm(y), 1e-20)
+    n_sq = max(int(np.ceil(np.log2(max(iters, 1)))), 0)
+    B = Ainv / jnp.maximum(jnp.linalg.norm(Ainv), 1e-30)
+    for _ in range(n_sq):
+        B = B @ B
+        B = B / jnp.maximum(jnp.linalg.norm(B), 1e-30)
 
-    v = jax.lax.fori_loop(0, iters, body, v)
+    v0 = jnp.ones((D,), A.dtype) / jnp.sqrt(jnp.float32(D))
+    v = B @ v0
+    v = v / jnp.maximum(jnp.linalg.norm(v), 1e-20)
 
     def rq_body(_, v):
         sigma = v @ A @ v

@@ -134,3 +134,27 @@ def test_topk_budget_truncates(models):
         np.asarray(full.scores[0])[np.asarray(full.mask[0])])[::-1]
     got = np.sort(np.asarray(out.scores[0])[mask])[::-1]
     np.testing.assert_allclose(got, full_scores[: mask.sum()], atol=1e-7)
+
+
+def test_polyphase_stem_matches_direct():
+    """The space-to-depth stem is the same math as the direct convs
+    (fp reassociation only), end to end through keypoint selection."""
+    import jax
+    import jax.numpy as jnp
+
+    from onepose_tpu.models import superpoint
+
+    rng = np.random.default_rng(7)
+    params = superpoint.init_params(jax.random.PRNGKey(3))
+    img = jnp.asarray(rng.uniform(0, 1, (2, 64, 96, 1)).astype(np.float32))
+
+    s_d, d_d = superpoint.dense_heads(params, img, stem="direct")
+    s_p, d_p = superpoint.dense_heads(params, img, stem="polyphase")
+    np.testing.assert_allclose(np.asarray(s_d), np.asarray(s_p), atol=2e-6)
+    np.testing.assert_allclose(np.asarray(d_d), np.asarray(d_p), atol=2e-6)
+
+    cfg = {"max_keypoints": 64}
+    o_d = superpoint.extract(params, img, {**cfg, "stem": "direct"})
+    o_p = superpoint.extract(params, img, {**cfg, "stem": "polyphase"})
+    assert bool(jnp.all(o_d.keypoints == o_p.keypoints))
+    assert bool(jnp.all(o_d.mask == o_p.mask))
