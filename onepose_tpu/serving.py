@@ -115,10 +115,10 @@ class PoseServer:
         self._stop = threading.Event()
         self._worker: Optional[threading.Thread] = None
 
-    # -- synchronous API ------------------------------------------------
-    def infer_batch(self, requests: Sequence[PoseRequest]) -> List[dict]:
-        """Run a mixed-object batch synchronously. Pads the tail to the
-        static batch size."""
+    # -- batch assembly / launch / fetch helpers -------------------------
+    def _assemble(self, requests: Sequence[PoseRequest], to_device: bool):
+        """Pad to the static batch size and (optionally) start the async
+        host→device upload. Returns (images, Ks, obj_idx, n_real)."""
         n_real = len(requests)
         reqs = list(requests)
         while len(reqs) < self.batch_size:
@@ -129,6 +129,17 @@ class PoseServer:
         Ks = np.stack([np.asarray(r.K, np.float32) for r in reqs])
         obj_idx = np.asarray(
             [self.name_to_idx[r.object_name] for r in reqs], np.int32)
+        if to_device:
+            # device_put dispatches asynchronously: the transfer proceeds
+            # while the caller keeps assembling/computing other batches.
+            images = jax.device_put(images)
+            Ks = jax.device_put(Ks)
+            obj_idx = jax.device_put(obj_idx)
+        return images, Ks, obj_idx, n_real
+
+    def _launch(self, staged):
+        """Dispatch one assembled batch; returns (PoseOutput, n_real)."""
+        images, Ks, obj_idx, n_real = staged
         self.key, sub = jax.random.split(self.key)
         keys = jax.random.split(sub, self.batch_size)
         out = _serve_step(
@@ -136,6 +147,10 @@ class PoseServer:
             jnp.asarray(obj_idx), jnp.asarray(images), jnp.asarray(Ks),
             keys, self.sp_config_items, self.gats_config_items,
             self.reproj_threshold, self.num_hypotheses, self.refine_iters)
+        return out, n_real
+
+    @staticmethod
+    def _fetch(out, n_real: int) -> List[dict]:
         poses = np.asarray(out.poses)
         success = np.asarray(out.success)
         inliers = np.asarray(out.num_inliers)
@@ -145,6 +160,51 @@ class PoseServer:
              "success": bool(success[i])}
             for i in range(n_real)
         ]
+
+    # -- synchronous API ------------------------------------------------
+    def infer_batch(self, requests: Sequence[PoseRequest]) -> List[dict]:
+        """Run a mixed-object batch synchronously. Pads the tail to the
+        static batch size."""
+        out, n_real = self._launch(self._assemble(requests, to_device=False))
+        return self._fetch(out, n_real)
+
+    def infer_many(self, requests: Sequence[PoseRequest],
+                   depth: int = 2, max_in_flight: int = 4) -> List[dict]:
+        """Pipelined inference over many requests (the production serving
+        shape): a staging thread assembles batches and starts their
+        host→device uploads ``depth`` ahead, compute launches as soon as a
+        staged batch is available, and result fetches drain in a bounded
+        window — upload of batch N+1, compute of batch N, and host fetch
+        of batch N-k all overlap. Addresses the upload-bound serving
+        finding of docs/DESIGN.md §11."""
+        chunks = [list(requests[i:i + self.batch_size])
+                  for i in range(0, len(requests), self.batch_size)]
+        if not chunks:
+            return []
+        staged: "queue.Queue" = queue.Queue(maxsize=depth)
+
+        def stager():
+            for chunk in chunks:
+                staged.put(self._assemble(chunk, to_device=True))
+            staged.put(None)
+
+        t = threading.Thread(target=stager, daemon=True)
+        t.start()
+
+        results: List[dict] = []
+        pending: List = []
+        while True:
+            item = staged.get()
+            if item is None:
+                break
+            pending.append(self._launch(item))
+            if len(pending) > max_in_flight:
+                out, n_real = pending.pop(0)
+                results.extend(self._fetch(out, n_real))
+        for out, n_real in pending:
+            results.extend(self._fetch(out, n_real))
+        t.join()
+        return results
 
     # -- async API ------------------------------------------------------
     def start(self):

@@ -121,3 +121,41 @@ def test_mismatched_db_shapes_rejected():
 
     with pytest.raises(ValueError):
         serving.PoseServer(sp_params, gats_params, dbs)
+
+
+def test_infer_many_matches_infer_batch():
+    """The pipelined infer_many path returns the same results as serial
+    infer_batch calls when the PRNG sequence is aligned."""
+    rng = np.random.default_rng(3)
+    key = jax.random.PRNGKey(3)
+    sp_params = superpoint.init_params(key)
+    gats_params = gats_spg.init_params(key)
+    dbs = {"objA": make_db(rng), "objB": make_db(rng)}
+    K = np.array([[460.0, 0, 32], [0, 460.0, 32], [0, 0, 1]], np.float32)
+    reqs = [
+        serving.PoseRequest(["objA", "objB"][i % 2],
+                            rng.uniform(0, 1, (64, 64)).astype(np.float32),
+                            K)
+        for i in range(5)  # 2 full batches + a padded tail
+    ]
+
+    def mk():
+        return serving.PoseServer(
+            sp_params, gats_params, dbs,
+            sp_config={"max_keypoints": 64}, batch_size=2,
+            num_hypotheses=32, refine_iters=2, seed=7)
+
+    server_a = mk()
+    many = server_a.infer_many(reqs, depth=2, max_in_flight=2)
+
+    server_b = mk()
+    serial = []
+    for i in range(0, len(reqs), 2):
+        serial.extend(server_b.infer_batch(reqs[i:i + 2]))
+
+    assert len(many) == len(serial) == 5
+    for a, b in zip(many, serial):
+        assert a["success"] == b["success"]
+        assert a["num_inliers"] == b["num_inliers"]
+        if a["pose"] is not None:
+            np.testing.assert_allclose(a["pose"], b["pose"], atol=1e-5)
