@@ -52,9 +52,19 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(mesh: Mesh, batch):
-    """Device_put a pytree of host arrays with the batch axis over 'data'."""
+    """Device_put a pytree of host arrays with the batch axis over 'data'.
+
+    Multi-process: each process passes its *local* slice of the global
+    batch (global batch = local batch x process_count along axis 0);
+    ``jax.make_array_from_process_local_data`` assembles the global array
+    without any cross-host copy of the data itself."""
     sharding = data_sharding(mesh)
-    return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
+    if jax.process_count() == 1:
+        return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
+    return jax.tree.map(
+        lambda x: jax.make_array_from_process_local_data(
+            sharding, np.asarray(x)),
+        batch)
 
 
 def replicate(mesh: Mesh, tree):

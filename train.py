@@ -20,16 +20,26 @@ import numpy as np
 
 
 def train(cfg):
+    from onepose_tpu.parallel import launch as plaunch
+
+    # Multi-host: one process per host, coordinator via config/env; no-op
+    # single-process. Must run before any other jax use.
+    plaunch.maybe_initialize(cfg.get("parallel", None))
+
     import jax
 
     from onepose_tpu.datasets.gats_dataset import GATsSPGDataset
+    from onepose_tpu.parallel import collectives as comm
     from onepose_tpu.parallel import mesh as pmesh
     from onepose_tpu.train import trainer
     from onepose_tpu.utils import model_io
 
+    is_main = comm.is_main_process()
+    world = jax.process_count()
     n_devices = cfg.parallel.n_devices or len(jax.devices())
     mesh = pmesh.make_mesh(n_devices)
-    print(f"[train] mesh: {mesh}")
+    if is_main:
+        print(f"[train] mesh: {mesh} ({world} processes)")
 
     gats_cfg = {
         "descriptor_dim": cfg.model.descriptor_dim,
@@ -78,50 +88,66 @@ def train(cfg):
 
     from onepose_tpu.train.logging import MetricLogger
 
-    os.makedirs(cfg.checkpoint.dirpath, exist_ok=True)
-    logger = MetricLogger(cfg.logging.log_dir)
+    # Process 0 owns the filesystem artifacts (checkpoints, logs, prints);
+    # other ranks only feed their local batch slice and step.
+    logger = None
+    if is_main:
+        os.makedirs(cfg.checkpoint.dirpath, exist_ok=True)
+        logger = MetricLogger(cfg.logging.log_dir)
     lr_sched = trainer.multistep_schedule(
         float(cfg.model.lr),
         [m * steps_per_epoch for m in cfg.model.milestones],
         cfg.model.gamma)
 
+    rank = comm.get_rank()
+    global_bs = cfg.datamodule.batch_size
+    if global_bs % world != 0:
+        raise ValueError(
+            f"batch_size {global_bs} not divisible by {world} processes")
+    local_bs = global_bs // world
+    lo, hi = rank * local_bs, (rank + 1) * local_bs
+
     global_step = int(np.asarray(state.step))
     for epoch in range(start_epoch, cfg.trainer.max_epochs):
         t0 = time.time()
         losses = []
+        # every process iterates the same deterministic batch order (same
+        # seed) and slices its local rows of each global batch
         for batch_np in train_ds.batches(
-                cfg.datamodule.batch_size, shuffle=True,
-                seed=cfg.seed + epoch):
+                global_bs, shuffle=True, seed=cfg.seed + epoch):
             batch = pmesh.shard_batch(mesh, {
-                "descriptors2d_query": batch_np["descriptors2d_query"],
-                "descriptors3d_db": batch_np["descriptors3d_db"],
-                "descriptors2d_db": batch_np["descriptors2d_db"],
-                "conf_gt": batch_np["conf_gt"],
+                k: batch_np[k][lo:hi] for k in (
+                    "descriptors2d_query", "descriptors3d_db",
+                    "descriptors2d_db", "conf_gt")
             })
             state, loss = step_fn(state, batch)
             global_step += 1
             if global_step % cfg.trainer.log_every_n_steps == 0:
                 loss_val = float(loss)
                 losses.append(loss_val)
-                logger.log(global_step, {
-                    "epoch": epoch, "train_loss": loss_val,
-                    "lr": float(lr_sched(global_step)),
-                })
+                if logger is not None:
+                    logger.log(global_step, {
+                        "epoch": epoch, "train_loss": loss_val,
+                        "lr": float(lr_sched(global_step)),
+                    })
         epoch_loss = float(np.mean(losses)) if losses else float("nan")
-        print(f"[train] epoch {epoch}: loss={epoch_loss:.4f} "
-              f"({time.time() - t0:.1f}s, {global_step} steps)")
+        if is_main:
+            print(f"[train] epoch {epoch}: loss={epoch_loss:.4f} "
+                  f"({time.time() - t0:.1f}s, {global_step} steps)")
 
-        ckpt_path = osp.join(cfg.checkpoint.dirpath, f"epoch={epoch}")
-        model_io.save_train_state(
-            jax.tree.map(np.asarray, state), ckpt_path)
-        model_io.save_pytree(
-            jax.tree.map(np.asarray, state.params),
-            osp.join(cfg.checkpoint.dirpath, "last"))
+            ckpt_path = osp.join(cfg.checkpoint.dirpath, f"epoch={epoch}")
+            model_io.save_train_state(
+                jax.tree.map(np.asarray, state), ckpt_path)
+            model_io.save_pytree(
+                jax.tree.map(np.asarray, state.params),
+                osp.join(cfg.checkpoint.dirpath, "last"))
 
-        val_metrics = validate(cfg, state.params, gats_cfg, epoch=epoch)
-        if val_metrics:
-            logger.log(global_step, {"epoch": epoch, **val_metrics})
-    logger.close()
+            val_metrics = validate(cfg, state.params, gats_cfg, epoch=epoch)
+            if val_metrics and logger is not None:
+                logger.log(global_step, {"epoch": epoch, **val_metrics})
+        comm.synchronize()
+    if logger is not None:
+        logger.close()
     return state
 
 
