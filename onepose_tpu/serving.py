@@ -68,6 +68,18 @@ class PoseRequest(NamedTuple):
 
 
 class PoseServer:
+    """Multi-object pose server.
+
+    ``mesh``: optional ``jax.sharding.Mesh`` with ("data", "model") axes.
+    When given, the stacked object DBs are sharded over the *model* axis
+    along the object dimension — the catalog scales past one chip's HBM
+    (18 MB fp32/object: one v5e holds ~800 objects, a sharded v5e-8 mesh
+    ~6400) — and request batches are sharded over the *data* axis. The
+    per-request object gather crosses the mesh as an XLA collective
+    gather over ICI; everything else is unchanged. Without a mesh the
+    stack is resident on the default device.
+    """
+
     def __init__(self, sp_params, gats_params,
                  object_dbs: Dict[str, ObjectDB],
                  sp_config: Optional[dict] = None,
@@ -77,7 +89,8 @@ class PoseServer:
                  reproj_threshold: float = 5.0,
                  num_hypotheses: int = 512,
                  refine_iters: int = 5,
-                 seed: int = 0):
+                 seed: int = 0,
+                 mesh=None):
         if not object_dbs:
             raise ValueError("need at least one object DB")
         shapes = {db.keypoints3d.shape[0] for db in object_dbs.values()}
@@ -87,16 +100,48 @@ class PoseServer:
                 "all object DBs must share shape3d and num_leaf "
                 f"(got shapes {shapes}, num_leaf {leaves})")
 
-        self.sp_params = sp_params
-        self.gats_params = gats_params
+        self.mesh = mesh
         self.names = sorted(object_dbs)
         self.name_to_idx = {n: i for i, n in enumerate(self.names)}
-        self.db_stack = {
-            key: jax.device_put(jnp.asarray(np.stack(
-                [getattr(object_dbs[n], key) for n in self.names])))
+
+        def stack(key):
+            arr = np.stack(
+                [np.asarray(getattr(object_dbs[n], key))
+                 for n in self.names])
+            if mesh is not None:
+                # pad the object axis to a multiple of the model axis
+                n_model = mesh.shape["model"]
+                pad = (-arr.shape[0]) % n_model
+                if pad:
+                    arr = np.concatenate(
+                        [arr, np.repeat(arr[-1:], pad, axis=0)])
+            return arr
+
+        if mesh is None:
+            self.sp_params = sp_params
+            self.gats_params = gats_params
+            self.db_stack = {
+                key: jax.device_put(jnp.asarray(stack(key)))
+                for key in ("keypoints3d", "descriptors3d",
+                            "descriptors2d_db", "mask3d")
+            }
+        else:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            if batch_size % mesh.shape["data"] != 0:
+                raise ValueError(
+                    f"batch_size {batch_size} not divisible by data axis "
+                    f"{mesh.shape['data']}")
+            replicated = NamedSharding(mesh, P())
+            self.sp_params = jax.device_put(sp_params, replicated)
+            self.gats_params = jax.device_put(gats_params, replicated)
+            self.db_stack = {}
             for key in ("keypoints3d", "descriptors3d",
-                        "descriptors2d_db", "mask3d")
-        }
+                        "descriptors2d_db", "mask3d"):
+                arr = stack(key)
+                spec = P("model", *([None] * (arr.ndim - 1)))
+                self.db_stack[key] = jax.device_put(
+                    jnp.asarray(arr), NamedSharding(mesh, spec))
 
         sp_cfg = dict(superpoint.DEFAULT_CONFIG)
         sp_cfg.update(sp_config or {})
@@ -129,19 +174,29 @@ class PoseServer:
         Ks = np.stack([np.asarray(r.K, np.float32) for r in reqs])
         obj_idx = np.asarray(
             [self.name_to_idx[r.object_name] for r in reqs], np.int32)
-        if to_device:
+        if to_device or self.mesh is not None:
             # device_put dispatches asynchronously: the transfer proceeds
             # while the caller keeps assembling/computing other batches.
-            images = jax.device_put(images)
-            Ks = jax.device_put(Ks)
-            obj_idx = jax.device_put(obj_idx)
+            # With a mesh, request tensors shard over the data axis.
+            images = jax.device_put(images, self._data_sharding(images.ndim))
+            Ks = jax.device_put(Ks, self._data_sharding(3))
+            obj_idx = jax.device_put(obj_idx, self._data_sharding(1))
         return images, Ks, obj_idx, n_real
+
+    def _data_sharding(self, ndim: int):
+        if self.mesh is None:
+            return None
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        return NamedSharding(self.mesh, P("data", *([None] * (ndim - 1))))
 
     def _launch(self, staged):
         """Dispatch one assembled batch; returns (PoseOutput, n_real)."""
         images, Ks, obj_idx, n_real = staged
         self.key, sub = jax.random.split(self.key)
         keys = jax.random.split(sub, self.batch_size)
+        if self.mesh is not None:
+            keys = jax.device_put(keys, self._data_sharding(keys.ndim))
         out = _serve_step(
             self.sp_params, self.gats_params, self.db_stack,
             jnp.asarray(obj_idx), jnp.asarray(images), jnp.asarray(Ks),

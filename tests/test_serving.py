@@ -159,3 +159,40 @@ def test_infer_many_matches_infer_batch():
         assert a["num_inliers"] == b["num_inliers"]
         if a["pose"] is not None:
             np.testing.assert_allclose(a["pose"], b["pose"], atol=1e-5)
+
+
+def test_model_axis_sharded_catalog_matches_unsharded():
+    """Object DBs sharded over the mesh 'model' axis (catalogs beyond one
+    chip's HBM) must produce the same results as the single-device stack;
+    the object axis pads to a multiple of the model axis."""
+    from onepose_tpu.parallel import mesh as pmesh
+
+    rng = np.random.default_rng(5)
+    key = jax.random.PRNGKey(5)
+    sp_params = superpoint.init_params(key)
+    gats_params = gats_spg.init_params(key)
+    dbs = {f"obj{i}": make_db(rng) for i in range(3)}  # pads 3 -> 4
+    K = np.array([[460.0, 0, 32], [0, 460.0, 32], [0, 0, 1]], np.float32)
+    reqs = [
+        serving.PoseRequest(f"obj{i % 3}",
+                            rng.uniform(0, 1, (64, 64)).astype(np.float32),
+                            K)
+        for i in range(4)
+    ]
+
+    mesh = pmesh.make_mesh(8, (2, 4))
+    sharded = serving.PoseServer(
+        sp_params, gats_params, dbs, sp_config={"max_keypoints": 64},
+        batch_size=4, num_hypotheses=32, refine_iters=2, seed=9, mesh=mesh)
+    plain = serving.PoseServer(
+        sp_params, gats_params, dbs, sp_config={"max_keypoints": 64},
+        batch_size=4, num_hypotheses=32, refine_iters=2, seed=9)
+
+    rs = sharded.infer_batch(reqs)
+    rp = plain.infer_batch(reqs)
+    assert len(rs) == len(rp) == 4
+    for a, b in zip(rs, rp):
+        assert a["success"] == b["success"]
+        assert a["num_inliers"] == b["num_inliers"]
+        if a["pose"] is not None:
+            np.testing.assert_allclose(a["pose"], b["pose"], atol=1e-4)
