@@ -37,6 +37,40 @@ class ObjectDB:
     num_points: int               # real (unpadded) point count
 
 
+def sample_leaf_indices(idxs: np.ndarray, num_leaf: int,
+                        rng: np.random.Generator) -> np.ndarray:
+    """Sample per-point observation indices: [num_points, num_leaf] into
+    the stacked observation axis, with ``total`` (one past the end) as the
+    dustbin sentinel for points with fewer than ``num_leaf`` observations.
+
+    Vectorized sampling without replacement via segment-random ranking:
+    give every observation a random key, rank it within its point's
+    segment (stable lexsort on (point, key) keeps segments contiguous),
+    and keep ranks < num_leaf; a final per-point slot shuffle reproduces
+    the reference's random slot order (data_utils.py:186-190) — downstream
+    GATs aggregation is slot-order invariant, but keep the distribution.
+
+    This is the index half of :func:`build_leaves`; the device-resident
+    training path ships only these indices and gathers descriptors on the
+    TPU.
+    """
+    idxs = np.asarray(idxs, np.int64)
+    num_points = idxs.shape[0]
+    upper = np.cumsum(idxs)
+    lower = upper - idxs
+    total = int(upper[-1]) if num_points else 0
+    dustbin_id = total  # one-past-the-end sentinel
+
+    point_id = np.repeat(np.arange(num_points), idxs)       # [total]
+    order = np.lexsort((rng.random(total), point_id))       # [total]
+    seg_rank = np.arange(total) - lower[point_id]           # [total]
+    chosen = seg_rank < num_leaf
+    pick = np.full((num_points, num_leaf), dustbin_id, np.int64)
+    pick[point_id[chosen], seg_rank[chosen]] = order[chosen]
+    slot_perm = np.argsort(rng.random((num_points, num_leaf)), axis=1)
+    return np.take_along_axis(pick, slot_perm, axis=1)
+
+
 def build_leaves(descriptors: np.ndarray, scores: np.ndarray,
                  idxs: np.ndarray, num_leaf: int,
                  rng: Optional[np.random.Generator] = None):
@@ -51,31 +85,10 @@ def build_leaves(descriptors: np.ndarray, scores: np.ndarray,
         rng = np.random.default_rng(12345)
     descriptors = np.asarray(descriptors, np.float32)
     scores = np.asarray(scores, np.float32).reshape(-1)
-    idxs = np.asarray(idxs, np.int64)
     dim = descriptors.shape[0]
-    num_points = idxs.shape[0]
-    dustbin_id = descriptors.shape[1]  # one-past-the-end sentinel
+    num_points = np.asarray(idxs).shape[0]
 
-    upper = np.cumsum(idxs)
-    lower = upper - idxs
-    total = int(upper[-1]) if num_points else 0
-
-    # Vectorized sampling without replacement via segment-random ranking:
-    # give every observation a random key, rank it within its point's
-    # segment (stable lexsort on (point, key) keeps segments contiguous),
-    # and keep ranks < num_leaf. Points with fewer than num_leaf
-    # observations keep them all and fill the remaining slots with the
-    # dustbin sentinel; a final per-point slot shuffle reproduces the
-    # reference's random slot order (data_utils.py:186-190) — downstream
-    # GATs aggregation is slot-order invariant, but keep the distribution.
-    point_id = np.repeat(np.arange(num_points), idxs)       # [total]
-    order = np.lexsort((rng.random(total), point_id))       # [total]
-    seg_rank = np.arange(total) - lower[point_id]           # [total]
-    chosen = seg_rank < num_leaf
-    pick = np.full((num_points, num_leaf), dustbin_id, np.int64)
-    pick[point_id[chosen], seg_rank[chosen]] = order[chosen]
-    slot_perm = np.argsort(rng.random((num_points, num_leaf)), axis=1)
-    pick = np.take_along_axis(pick, slot_perm, axis=1)
+    pick = sample_leaf_indices(idxs, num_leaf, rng)
 
     desc_aug = np.concatenate(
         [descriptors, np.ones((dim, 1), np.float32)], axis=1)

@@ -77,6 +77,90 @@ def train_step(state: TrainState, batch, tx, gats_config_items):
     return TrainState(new_params, new_opt_state, state.step + 1), loss
 
 
+def materialize_light_batch(db, light, shape2d: int, shape3d: int,
+                            pad_val: int = 0):
+    """Expand a host-light batch into the dense training batch ON DEVICE.
+
+    db: device-resident stacks from GATsSPGDataset.device_db()
+      clt_stack [O, T+1, D] (row T = dustbin ones), avg_stack [O, S3, D].
+    light: obj_idx [B], leaf_idx [B, S3*L] (into the T+1 axis),
+      descriptors2d_query [B, S2, D], pairs [B, P, 2] (-1 = absent),
+      num2d [B], num3d [B].
+
+    The leaf gather ([B, S3*L, D] ≈ 16 MB/item) and the dense conf_gt
+    ([S2, S3] ≈ 8 MB/item) are created here in HBM instead of being
+    built on host and shipped — the host uploads ~1 MB/item.
+    Matches gats_dataset.get()'s semantics exactly (dustbin = ones,
+    reshape_assign_matrix scatter + pad_val regions).
+    """
+    obj = light["obj_idx"]
+    clt = db["clt_stack"][obj]                      # [B, T+1, D]
+    d2db = jnp.take_along_axis(
+        clt, light["leaf_idx"][..., None].astype(jnp.int32), axis=1)
+    d3db = db["avg_stack"][obj]                     # [B, S3, D]
+
+    pairs = light["pairs"].astype(jnp.int32)        # [B, P, 2]
+
+    def scatter_one(pr):
+        conf = jnp.zeros((shape2d, shape3d), jnp.int32)
+        # -1 indices are out-of-bounds → mode="drop" discards them
+        return conf.at[pr[:, 0], pr[:, 1]].set(1, mode="drop")
+
+    conf = jax.vmap(scatter_one)(pairs)             # [B, S2, S3]
+    r2 = jnp.arange(shape2d)[None, :, None]
+    r3 = jnp.arange(shape3d)[None, None, :]
+    pad_region = (r2 >= light["num2d"][:, None, None]) \
+        | (r3 >= light["num3d"][:, None, None])
+    conf = jnp.where(pad_region, pad_val, conf)
+
+    return {
+        "descriptors2d_query": light["descriptors2d_query"],
+        "descriptors3d_db": d3db,
+        "descriptors2d_db": d2db,
+        "conf_gt": conf,
+    }
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("tx", "gats_config_items", "shape2d", "shape3d",
+                     "pad_val"),
+    donate_argnums=(0,))
+def gather_train_step(state: TrainState, light, db, tx, gats_config_items,
+                      shape2d, shape3d, pad_val):
+    gats_config = dict(gats_config_items)
+
+    def loss_fn(params):
+        batch = materialize_light_batch(db, light, shape2d, shape3d,
+                                        pad_val)
+        out = gats_spg.forward(params, batch, gats_config)
+        return focal_loss(out.conf_matrix, batch["conf_gt"])
+
+    loss, grads = jax.value_and_grad(loss_fn)(state.params)
+    updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
+    new_params = optax.apply_updates(state.params, updates)
+    return TrainState(new_params, new_opt_state, state.step + 1), loss
+
+
+def make_gather_train_step(tx: optax.GradientTransformation,
+                           gats_config: Optional[dict],
+                           db, shape2d: int, shape3d: int,
+                           pad_val: int = 0):
+    """Device-resident-DB training step: step(state, light_batch).
+
+    ``db`` arrays should already be on device (replicated under a mesh);
+    light batches shard over 'data'."""
+    cfg = dict(gats_spg.DEFAULT_CONFIG)
+    cfg.update(gats_config or {})
+    items = tuple(sorted(cfg.items()))
+
+    def step(state, light):
+        return gather_train_step(state, light, db, tx, items,
+                                 shape2d, shape3d, pad_val)
+
+    return step
+
+
 def make_train_step(tx: optax.GradientTransformation,
                     gats_config: Optional[dict] = None):
     """Bind static args; returns step(state, batch) -> (state, loss).

@@ -155,3 +155,55 @@ def test_remat_matches_standard():
     for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=1e-6)
+
+
+def test_gather_path_matches_host_path(tmp_path):
+    """The device-resident input path (leaf indices + on-device gather +
+    conf_gt scatter) must reproduce the host-built dense batch exactly,
+    tensor for tensor, given the same seed."""
+    import sys
+    import os.path as osp
+
+    sys.path.insert(0, osp.dirname(osp.abspath(__file__)))
+    from test_cli_integration import build_dataset
+
+    from onepose_tpu.datasets.gats_dataset import GATsSPGDataset
+    from onepose_tpu.datasets.merge import merge_anno
+
+    rng = np.random.default_rng(4)
+    build_dataset(tmp_path, rng)
+    root = str(tmp_path)
+    train_json = f"{root}/data/cache/t/train.json"
+    merge_anno(f"{root}/data/sfm_model", ["0001-obj-box"], train_json)
+
+    kw = dict(num_leaf=4, split="train", shape2d=24, shape3d=40, seed=5)
+    ds_host = GATsSPGDataset(train_json, **kw)
+    ds_light = GATsSPGDataset(train_json, **kw)
+
+    host = next(ds_host.batches(2, shuffle=True, seed=7, num_threads=1))
+
+    db_np, obj_index = ds_light.device_db()
+    light = next(ds_light.light_batches(obj_index, db_np["t_max"], 2,
+                                        shuffle=True, seed=7))
+    db = {"clt_stack": jnp.asarray(db_np["clt_stack"]),
+          "avg_stack": jnp.asarray(db_np["avg_stack"])}
+    dev = trainer.materialize_light_batch(
+        db, {k: jnp.asarray(v) for k, v in light.items()},
+        shape2d=24, shape3d=40, pad_val=0)
+
+    for k in ("descriptors2d_query", "descriptors3d_db",
+              "descriptors2d_db", "conf_gt"):
+        np.testing.assert_allclose(
+            np.asarray(dev[k]), host[k], atol=0, rtol=0, err_msg=k)
+
+    # and the jitted gather step itself runs + reduces loss
+    tx = trainer.make_optimizer(base_lr=1e-3, milestones_steps=[100])
+    state = trainer.init_train_state(
+        jax.random.PRNGKey(0), tx, {"num_blocks": 1})
+    step = trainer.make_gather_train_step(
+        tx, {"num_blocks": 1}, db, 24, 40, 0)
+    lb = {k: jnp.asarray(v) for k, v in light.items()}
+    state, l0 = step(state, lb)
+    for _ in range(4):
+        state, l1 = step(state, lb)
+    assert float(l1) < float(l0)

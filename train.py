@@ -107,20 +107,48 @@ def train(cfg):
     local_bs = global_bs // world
     lo, hi = rank * local_bs, (rank + 1) * local_bs
 
+    # Device-resident input path (default): all objects' observation
+    # descriptors upload once; per step the host ships leaf indices, query
+    # descriptors, and sparse GT pairs — the leaf gather and dense conf_gt
+    # materialize on device (trainer.materialize_light_batch).
+    device_resident = bool(cfg.datamodule.get("device_resident", True))
+    if device_resident:
+        db_np, obj_index = train_ds.device_db()
+        db = pmesh.replicate(
+            mesh, {"clt_stack": db_np["clt_stack"],
+                   "avg_stack": db_np["avg_stack"]})
+        gather_step_fn = trainer.make_gather_train_step(
+            tx, gats_cfg, db, cfg.datamodule.shape2d,
+            cfg.datamodule.shape3d, cfg.datamodule.assign_pad_val)
+        if is_main:
+            print(f"[train] device-resident DB: "
+                  f"{db_np['clt_stack'].nbytes / 1e6:.0f} MB, "
+                  f"{len(obj_index)} objects")
+
     global_step = int(np.asarray(state.step))
     for epoch in range(start_epoch, cfg.trainer.max_epochs):
         t0 = time.time()
         losses = []
         # every process iterates the same deterministic batch order (same
         # seed) and slices its local rows of each global batch
-        for batch_np in train_ds.batches(
-                global_bs, shuffle=True, seed=cfg.seed + epoch):
-            batch = pmesh.shard_batch(mesh, {
-                k: batch_np[k][lo:hi] for k in (
-                    "descriptors2d_query", "descriptors3d_db",
-                    "descriptors2d_db", "conf_gt")
-            })
-            state, loss = step_fn(state, batch)
+        if device_resident:
+            batch_iter = train_ds.light_batches(
+                obj_index, db_np["t_max"], global_bs, shuffle=True,
+                seed=cfg.seed + epoch)
+        else:
+            batch_iter = train_ds.batches(
+                global_bs, shuffle=True, seed=cfg.seed + epoch)
+        host_keys = ("descriptors2d_query", "descriptors3d_db",
+                     "descriptors2d_db", "conf_gt")
+        for batch_np in batch_iter:
+            if device_resident:
+                batch = pmesh.shard_batch(
+                    mesh, {k: v[lo:hi] for k, v in batch_np.items()})
+                state, loss = gather_step_fn(state, batch)
+            else:
+                batch = pmesh.shard_batch(
+                    mesh, {k: batch_np[k][lo:hi] for k in host_keys})
+                state, loss = step_fn(state, batch)
             global_step += 1
             if global_step % cfg.trainer.log_every_n_steps == 0:
                 loss_val = float(loss)
