@@ -62,6 +62,7 @@ def inference_core(cfg, data_root, seq_dir, sfm_model_dir, sp_params,
     evaluator = Evaluator()
     bs = cfg.batch_size
     key = jax.random.PRNGKey(12345)
+    scene_poses = [] if cfg.get("save_wis3d", False) else None
 
     from onepose_tpu.runtime.loader import PrefetchLoader
 
@@ -87,6 +88,8 @@ def inference_core(cfg, data_root, seq_dir, sfm_model_dir, sp_params,
         for bi in range(n):
             evaluator.evaluate(
                 poses[bi] if success[bi] else None, gts[bi])
+            if scene_poses is not None and success[bi]:
+                scene_poses.append(poses[bi])
 
     for images, chunk, n_real in loader:
         Ks, gt_poses = [], []
@@ -110,6 +113,18 @@ def inference_core(cfg, data_root, seq_dir, sfm_model_dir, sp_params,
     eval_result = evaluator.summarize()
     obj_name = sfm_model_dir.rstrip("/").split("/")[-1]
     seq_name = seq_dir.rstrip("/").split("/")[-1]
+    if scene_poses is not None:
+        # interactive scene dump (reference wis3d role): DB point cloud +
+        # every successfully estimated camera, one standalone HTML/sequence
+        from onepose_tpu.utils import vis_utils
+
+        vis_dir = cfg.get_path("output.vis_dir") or cfg.output.eval_dir
+        valid3d = np.asarray(db.mask3d, bool)
+        vis_utils.export_scene_html(
+            osp.join(vis_dir, f"{obj_name}_{seq_name}.html"),
+            points3d=np.asarray(db.keypoints3d)[valid3d],
+            poses=scene_poses,
+            name=f"{obj_name}/{seq_name}")
     record_eval_result(cfg.output.eval_dir, obj_name, seq_name, eval_result)
     return eval_result
 

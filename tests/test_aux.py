@@ -87,3 +87,61 @@ def test_timer():
     s = t.summary()
     assert s["op"]["count"] == 2
     assert s["op"]["total_s"] >= 0
+
+
+def test_wandb_adapter_with_fake_module(tmp_path, monkeypatch):
+    """The wandb adapter mirrors metrics and checkpoint artifacts when the
+    package exists (faked here; it doesn't ship in this image) and is a
+    silent no-op otherwise."""
+    import sys
+    import types
+
+    calls = {"logs": [], "artifacts": [], "finished": [0]}
+
+    class FakeArtifact:
+        def __init__(self, name, type):
+            self.name, self.type, self.items = name, type, []
+
+        def add_dir(self, p):
+            self.items.append(("dir", p))
+
+        def add_file(self, p):
+            self.items.append(("file", p))
+
+    class FakeRun:
+        id = "r1"
+
+        def log(self, metrics, step=None):
+            calls["logs"].append((step, metrics))
+
+        def log_artifact(self, art):
+            calls["artifacts"].append(art)
+
+        def finish(self):
+            calls["finished"][0] += 1
+
+    fake = types.ModuleType("wandb")
+    fake.init = lambda project, config: FakeRun()
+    fake.Artifact = FakeArtifact
+    monkeypatch.setitem(sys.modules, "wandb", fake)
+
+    from onepose_tpu.train.logging import MetricLogger, WandbAdapter
+
+    logger = MetricLogger(str(tmp_path), use_tensorboard=False,
+                          wandb_project="proj", wandb_config={"a": 1})
+    logger.log(3, {"loss": 0.5})
+    ck = tmp_path / "ck"
+    ck.mkdir()
+    logger.log_checkpoint(str(ck))
+    logger.close()
+    assert calls["logs"] == [(3, {"loss": 0.5})]
+    assert len(calls["artifacts"]) == 1
+    assert calls["artifacts"][0].items == [("dir", str(ck))]
+    assert calls["finished"][0] == 1
+
+    # without the module: every call a no-op
+    monkeypatch.delitem(sys.modules, "wandb")
+    ad = WandbAdapter("proj")
+    ad.log(0, {"x": 1.0})
+    ad.log_checkpoint(str(ck))
+    ad.finish()

@@ -108,7 +108,9 @@ def test_inference_cli_integration(tmp_path):
         "batch_size": 2,
         "pnp": Config({"reproj_threshold": 5.0, "num_hypotheses": 32,
                        "refine_iters": 2}),
-        "output": Config({"eval_dir": osp.join(root, "runs/eval")}),
+        "save_wis3d": True,
+        "output": Config({"eval_dir": osp.join(root, "runs/eval"),
+                          "vis_dir": osp.join(root, "runs/vis")}),
     })
     sp_params = superpoint.init_params(jax.random.PRNGKey(0))
     gats_params = gats_spg.init_params(jax.random.PRNGKey(1))
@@ -124,6 +126,10 @@ def test_inference_cli_integration(tmp_path):
     assert osp.exists(report)
     txt = open(report).read()
     assert "cmd1" in txt
+    # interactive scene dump (wis3d stand-in)
+    scene = osp.join(root, "runs/vis", "0001-obj-box_obj-1.html")
+    assert osp.exists(scene)
+    assert "<canvas" in open(scene).read()
 
 
 @pytest.mark.slow

@@ -70,3 +70,21 @@ def test_evaluator_none_pose():
     ev.evaluate(np.eye(4), np.eye(4))
     m = ev.summarize(verbose=False)
     assert m["cmd1"] == 0.5
+
+
+def test_export_scene_html(tmp_path):
+    """Self-contained interactive HTML dump (wis3d stand-in): single file,
+    scene data embedded, template braces fully resolved."""
+    from onepose_tpu.utils import vis_utils
+
+    rng = np.random.default_rng(0)
+    pts = rng.normal(size=(50, 3))
+    pose = np.concatenate([np.eye(3), [[0], [0], [2]]], axis=1)
+    box = rng.normal(size=(8, 3))
+    out = vis_utils.export_scene_html(
+        str(tmp_path / "scene.html"), pts, [pose], box, name="t")
+    src = open(out).read()
+    assert "{{" not in src and "}}" not in src
+    assert "<canvas" in src and '"points"' in src and '"cameras"' in src
+    body = src[src.index("<script>"):]
+    assert body.count("{") == body.count("}")

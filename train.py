@@ -93,7 +93,11 @@ def train(cfg):
     logger = None
     if is_main:
         os.makedirs(cfg.checkpoint.dirpath, exist_ok=True)
-        logger = MetricLogger(cfg.logging.log_dir)
+        logger = MetricLogger(
+            cfg.logging.log_dir,
+            wandb_project=cfg.logging.get("wandb_project"),
+            wandb_config={"model": dict(cfg.model),
+                          "datamodule": dict(cfg.datamodule)})
     lr_sched = trainer.multistep_schedule(
         float(cfg.model.lr),
         [m * steps_per_epoch for m in cfg.model.milestones],
@@ -166,6 +170,7 @@ def train(cfg):
             ckpt_path = osp.join(cfg.checkpoint.dirpath, f"epoch={epoch}")
             model_io.save_train_state(
                 jax.tree.map(np.asarray, state), ckpt_path)
+            logger.log_checkpoint(ckpt_path)
             model_io.save_pytree(
                 jax.tree.map(np.asarray, state.params),
                 osp.join(cfg.checkpoint.dirpath, "last"))
