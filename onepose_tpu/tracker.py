@@ -16,6 +16,7 @@ solvers).
 """
 from __future__ import annotations
 
+import functools
 from dataclasses import dataclass, field
 from typing import Dict, List, Optional
 
@@ -27,6 +28,64 @@ import jax.numpy as jnp
 from onepose_tpu.models.nn_matcher import mutual_nearest_neighbour
 from onepose_tpu.ops import epnp, lie, lk_flow, lm
 from onepose_tpu.utils.geometry import query_pose_error
+
+
+# ---------------------------------------------------------------------------
+# Fused per-frame kernels. Everything is static-shape (full keypoint slots +
+# masks, never host-compacted index subsets) so each tracked frame costs a
+# fixed number of dispatches with NO retracing — the naive per-subset calls
+# recompile for every distinct match count, which dominates latency.
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("num_hypotheses",))
+def _flow_pnp_step(kf_img, q_img, kpts, mask, pts3d, K, key,
+                   num_hypotheses):
+    """LK-flow the keyframe's 3D-assigned keypoints into the query and PnP
+    on the flowed correspondences — one dispatch, one host sync."""
+    res = lk_flow.pyramid_lk(kf_img, q_img, kpts)
+    status = res.status & mask
+    pnp = epnp.ransac_pnp(key, res.points, pts3d, status, K,
+                          num_hypotheses=num_hypotheses)
+    return pnp.pose, pnp.num_inliers, jnp.sum(status), pnp.success
+
+
+@functools.partial(jax.jit, static_argnames=("num_hypotheses",
+                                             "gate_scale"))
+def _assoc_pnp_step(kf_desc, kf_mask, kf_src_ok, kf_pts3d, q_desc, q_mask,
+                    q_kpts, pose_init, K, key, num_hypotheses, gate_scale):
+    """Descriptor association + reprojection gating + PnP, fused.
+
+    kf_src_ok: [Kf] keyframe slots that carry a 3D id; kf_pts3d their 3D
+    points (garbage where ~kf_src_ok). Returns (pose, m0 [Kf]→query,
+    keep [Kq] gated assignment mask, n_keep, pnp_inliers, used_pnp).
+    Matches the host logic of track() (median*scale gate, floor 3 px,
+    stages skipped below 8 correspondences via jnp.where)."""
+    nq = q_desc.shape[0]
+    nn = mutual_nearest_neighbour(kf_desc, q_desc, mask0=kf_mask,
+                                  mask1=q_mask, distance_thresh=0.7)
+    m0 = nn.matches0
+    src_ok = (m0 >= 0) & kf_src_ok
+    tgt = jnp.where(src_ok, m0, -1)
+    assigned_q = jnp.zeros(nq, bool).at[tgt].set(True, mode="drop")
+    pts3d_q = jnp.zeros((nq, 3), jnp.float32).at[tgt].set(
+        kf_pts3d.astype(jnp.float32), mode="drop")
+
+    proj = lie.project(pose_init, K, pts3d_q)
+    err = jnp.linalg.norm(proj - q_kpts, axis=1)
+    errs = jnp.where(assigned_q, err, jnp.inf)
+    cnt = jnp.sum(assigned_q)
+    s = jnp.sort(errs)
+    med = 0.5 * (s[jnp.maximum((cnt - 1) // 2, 0)]
+                 + s[jnp.maximum(cnt // 2, 0)])
+    gate = jnp.maximum(med * gate_scale, 3.0)
+    keep = jnp.where(cnt >= 8, assigned_q & (err <= gate), assigned_q)
+
+    pnp = epnp.ransac_pnp(key, q_kpts, pts3d_q, keep, K,
+                          num_hypotheses=num_hypotheses)
+    n_keep = jnp.sum(keep)
+    used_pnp = pnp.success & (n_keep >= 8)
+    pose = jnp.where(used_pnp, pnp.pose, pose_init)
+    return pose, m0, keep, n_keep, pnp.num_inliers, used_pnp
 
 
 @dataclass
@@ -125,27 +184,21 @@ class BATracker:
 
     def _pose_from_flow(self, query_image, K):
         """LK-track the last keyframe's assigned keypoints into the query,
-        then PnP on the flowed 2D ↔ known 3D."""
+        then PnP on the flowed 2D ↔ known 3D — one fused dispatch over the
+        full static keypoint set (masked), one host sync."""
         kf = self.frames[-1]
         has3d = (kf.point_ids >= 0) & kf.kpt_mask
         if has3d.sum() < 8:
             return None, None
-        idx = np.where(has3d)[0]
-        res = lk_flow.pyramid_lk(
+        pts3d = self.points3d[np.clip(kf.point_ids, 0, None)]
+        pose, inl, n_status, success = jax.tree.map(np.asarray, _flow_pnp_step(
             jnp.asarray(kf.image), jnp.asarray(query_image),
-            jnp.asarray(kf.keypoints[idx]))
-        status = np.asarray(res.status)
-        if status.sum() < 8:
+            jnp.asarray(kf.keypoints), jnp.asarray(has3d),
+            jnp.asarray(pts3d), jnp.asarray(K, jnp.float32),
+            self._next_key(), self.pnp_hypotheses))
+        if int(n_status) < 8 or not bool(success):
             return None, None
-        flowed = np.asarray(res.points)
-        pts3d = self.points3d[kf.point_ids[idx]]
-        pnp = epnp.ransac_pnp(
-            self._next_key(), jnp.asarray(flowed), jnp.asarray(pts3d),
-            jnp.asarray(status), jnp.asarray(K, jnp.float32),
-            num_hypotheses=self.pnp_hypotheses)
-        if not bool(np.asarray(pnp.success)):
-            return None, None
-        return np.asarray(pnp.pose), int(np.asarray(pnp.num_inliers))
+        return np.asarray(pose), int(inl)
 
     # ------------------------------------------------------------------
     def track(self, query_image, keypoints, descriptors, kpt_mask, K):
@@ -164,45 +217,30 @@ class BATracker:
         if pose_init is None:
             return None, info
 
-        # Associate query keypoints to 3D via the last keyframe descriptors.
+        # Associate query keypoints to 3D via the last keyframe descriptors,
+        # gate by reprojection (median * scale, ba_tracker.py:530-543), and
+        # PnP — one fused static-shape dispatch, one host sync.
         kf = self.frames[-1]
-        nn = mutual_nearest_neighbour(
-            jnp.asarray(kf.descriptors), jnp.asarray(descriptors),
-            mask0=jnp.asarray(kf.kpt_mask), mask1=jnp.asarray(kpt_mask),
-            distance_thresh=0.7)
-        m0 = np.asarray(nn.matches0)
-
-        point_ids = np.full(len(keypoints), -1, np.int64)
         kf_has3d = kf.point_ids >= 0
-        matched = m0 >= 0
-        src = np.where(matched & kf_has3d)[0]
-        point_ids[m0[src]] = kf.point_ids[src]
-
-        # Reprojection gating (median * scale, ba_tracker.py:530-543).
-        assigned = np.where(point_ids >= 0)[0]
-        if len(assigned) >= 8:
-            pts3d = self.points3d[point_ids[assigned]]
-            proj = np.asarray(lie.project(
+        pose, m0, keep, n_keep, pnp_inl, used_pnp = jax.tree.map(
+            np.asarray, _assoc_pnp_step(
+                jnp.asarray(kf.descriptors), jnp.asarray(kf.kpt_mask),
+                jnp.asarray(kf_has3d),
+                jnp.asarray(self.points3d[np.clip(kf.point_ids, 0, None)]),
+                jnp.asarray(descriptors), jnp.asarray(kpt_mask),
+                jnp.asarray(keypoints, jnp.float32),
                 jnp.asarray(pose_init), jnp.asarray(K, jnp.float32),
-                jnp.asarray(pts3d)))
-            err = np.linalg.norm(proj - keypoints[assigned], axis=1)
-            gate = max(np.median(err) * self.reproj_gate_scale, 3.0)
-            bad = assigned[err > gate]
-            point_ids[bad] = -1
-
-        # PnP on the gated assignments for the refined query pose.
-        assigned = np.where(point_ids >= 0)[0]
-        if len(assigned) >= 8:
-            pnp = epnp.ransac_pnp(
-                self._next_key(),
-                jnp.asarray(keypoints[assigned]),
-                jnp.asarray(self.points3d[point_ids[assigned]]),
-                jnp.ones(len(assigned), bool),
-                jnp.asarray(K, jnp.float32),
-                num_hypotheses=self.pnp_hypotheses)
-            if bool(np.asarray(pnp.success)):
-                pose_init = np.asarray(pnp.pose)
-                info["pnp_inliers"] = int(np.asarray(pnp.num_inliers))
+                self._next_key(), self.pnp_hypotheses,
+                self.reproj_gate_scale))
+        matched = m0 >= 0
+        point_ids = np.full(len(keypoints), -1, np.int64)
+        src = np.where(matched & kf_has3d)[0]
+        tgt = m0[src]
+        surv = keep[tgt]
+        point_ids[tgt[surv]] = kf.point_ids[src[surv]]
+        if bool(used_pnp):
+            pose_init = pose.astype(np.float32)
+            info["pnp_inliers"] = int(pnp_inl)
 
         # Triangulate new points from unassigned KF↔query matches.
         new_src = np.where(matched & ~kf_has3d & kf.kpt_mask)[0]
@@ -235,19 +273,21 @@ class BATracker:
         from onepose_tpu.sfm.triangulate import _triangulate_batch_host
 
         n = len(new_src)
-        uvs = np.zeros((n, 2, 2), np.float32)
-        Ps = np.zeros((n, 2, 3, 4), np.float32)
-        P_kf = (kf.K @ kf.pose).astype(np.float32)
-        P_q = (np.asarray(K) @ q_pose[:3, :4]).astype(np.float32)
-        for i, s in enumerate(new_src):
-            uvs[i, 0] = kf.keypoints[s]
-            uvs[i, 1] = q_kpts[m0[s]]
-            Ps[i, 0] = P_kf
-            Ps[i, 1] = P_q
-        mask = np.ones((n, 2), bool)
+        # Pad the batch to a power-of-two bucket: the jitted triangulator
+        # then compiles O(log) variants instead of one per match count.
+        n_pad = max(8, 1 << (n - 1).bit_length())
+        uvs = np.zeros((n_pad, 2, 2), np.float32)
+        uvs[:n, 0] = kf.keypoints[new_src]
+        uvs[:n, 1] = q_kpts[m0[new_src]]
+        Ps = np.zeros((n_pad, 2, 3, 4), np.float32)
+        Ps[:, 0] = (kf.K @ kf.pose).astype(np.float32)
+        Ps[:, 1] = (np.asarray(K) @ q_pose[:3, :4]).astype(np.float32)
+        mask = np.zeros((n_pad, 2), bool)
+        mask[:n] = True
         xyz, err, z = _triangulate_batch_host(
             jnp.asarray(uvs), jnp.asarray(Ps), jnp.asarray(mask))
-        xyz, err, z = np.asarray(xyz), np.asarray(err), np.asarray(z)
+        xyz = np.asarray(xyz)[:n]
+        err, z = np.asarray(err)[:n], np.asarray(z)[:n]
         good = (err.max(axis=1) < 3.0) & (z.min(axis=1) > 0.01) \
             & (z.max(axis=1) < 10.0)
         if good.sum() == 0:
@@ -258,12 +298,9 @@ class BATracker:
         self.point_fixed = np.concatenate(
             [self.point_fixed, np.zeros(int(good.sum()), bool)])
         new_ids = start + np.arange(int(good.sum()))
-        gi = 0
-        for i, s in enumerate(new_src):
-            if good[i]:
-                kf.point_ids[s] = new_ids[gi]
-                point_ids[m0[s]] = new_ids[gi]
-                gi += 1
+        good_src = new_src[good]
+        kf.point_ids[good_src] = new_ids
+        point_ids[m0[good_src]] = new_ids
 
     def _prune_window(self):
         if len(self.frames) > self.win_size:
