@@ -327,34 +327,55 @@ class GATsSPGDataset:
         clt_stack = np.ones((O, t_max + 1, dim), np.float32)
         avg_stack = np.ones((O, self.shape3d, dim), np.float32)
         num3d = np.zeros(O, np.int32)
+        # per-point observation counts + segment starts, for on-device
+        # leaf sampling (trainer.sample_leaves_on_device)
+        count_stack = np.zeros((O, self.shape3d), np.int32)
+        offset_stack = np.zeros((O, self.shape3d), np.int32)
         for i, o in enumerate(per_obj):
             t = int(o["idxs"].sum())
             clt_stack[i, :t] = np.asarray(o["clt_desc"]).T
             m = min(o["avg_descT"].shape[0], self.shape3d)
             avg_stack[i, :m] = o["avg_descT"][:m]
             num3d[i] = min(o["kpts3d"].shape[0], self.shape3d)
+            idxs = np.asarray(o["idxs"], np.int64)
+            lower = np.cumsum(idxs) - idxs
+            mp = min(len(idxs), self.shape3d)
+            count_stack[i, :mp] = idxs[:mp]
+            offset_stack[i, :mp] = lower[:mp]
         db = {"clt_stack": clt_stack, "avg_stack": avg_stack,
-              "num3d": num3d, "t_max": t_max}
+              "num3d": num3d, "t_max": t_max,
+              "count_stack": count_stack, "offset_stack": offset_stack}
         return db, obj_index
 
     def get_light(self, index: int, obj_index, t_max: int,
-                  rng: np.random.Generator, max_pairs: int = 2048):
+                  rng: np.random.Generator, max_pairs: int = 2048,
+                  on_device_leaves: bool = False):
         """Host-light train item: indices + query side only.
 
-        Consumes the SAME rng stream as :meth:`get` (leaf sampling, 3D
-        pad draw, 2D pad) so the gather path is sample-for-sample
-        identical to the host path."""
+        With ``on_device_leaves=False`` it consumes the SAME rng stream as
+        :meth:`get` (leaf sampling, 3D pad draw, 2D pad) so the gather
+        path is sample-for-sample identical to the host path. With
+        ``on_device_leaves=True`` the item ships a 4-byte ``leaf_seed``
+        instead of ``leaf_idx`` and the per-point sampling lexsort (the
+        dominant host cost, ~10 ms/item) runs inside the train step
+        (trainer.sample_leaves_on_device)."""
         ann = self.items[index]
         a3 = self._anno3d_arrays(ann)
         num3d = min(a3["kpts3d"].shape[0], self.shape3d)
         total = int(a3["idxs"].sum())
 
-        pick = anno_mod.sample_leaf_indices(a3["idxs"], self.num_leaf, rng)
-        # sentinel `total` and padded points → the shared dustbin row t_max
-        pick = np.where(pick >= total, t_max, pick)
-        leaf_idx = np.full((self.shape3d, self.num_leaf), t_max, np.int32)
-        m = min(pick.shape[0], self.shape3d)
-        leaf_idx[:m] = pick[:m]
+        if on_device_leaves:
+            leaf_seed = np.uint32(rng.integers(1 << 31))
+            leaf_idx = None
+        else:
+            pick = anno_mod.sample_leaf_indices(
+                a3["idxs"], self.num_leaf, rng)
+            # sentinel `total` and padded points → shared dustbin row t_max
+            pick = np.where(pick >= total, t_max, pick)
+            leaf_idx = np.full(
+                (self.shape3d, self.num_leaf), t_max, np.int32)
+            m = min(pick.shape[0], self.shape3d)
+            leaf_idx[:m] = pick[:m]
 
         # keep the rng stream aligned with get(): 3D pad positions are
         # drawn there even though the loss never reads them
@@ -372,19 +393,24 @@ class GATsSPGDataset:
             valid = (assign[0] < self.shape2d) & (assign[1] < self.shape3d)
             a = assign[:, valid].astype(np.int32).T[:max_pairs]
             pairs[: len(a)] = a
-        return {
+        item = {
             "obj_idx": np.int32(obj_index[ann["collect_anno3d_file"]]),
-            "leaf_idx": leaf_idx.reshape(-1),
             "descriptors2d_query": desc2d,
             "pairs": pairs,
             "num2d": np.int32(min(num2d, self.shape2d)),
             "num3d": np.int32(num3d),
         }
+        if on_device_leaves:
+            item["leaf_seed"] = leaf_seed
+        else:
+            item["leaf_idx"] = leaf_idx.reshape(-1)
+        return item
 
     def light_batches(self, obj_index, t_max: int, batch_size: int,
                       shuffle: bool = True, drop_last: bool = True,
                       seed: Optional[int] = None,
-                      prefetch: int = 2) -> Iterator[Dict]:
+                      prefetch: int = 2,
+                      on_device_leaves: bool = False) -> Iterator[Dict]:
         """Collated light batches (see :meth:`get_light`), produced one
         batch ahead on a background thread."""
         order = np.arange(len(self))
@@ -406,8 +432,9 @@ class GATsSPGDataset:
         def producer():
             try:
                 for idx in chunks:
-                    items = [self.get_light(int(i), obj_index, t_max, rng)
-                             for i in idx]
+                    items = [self.get_light(
+                        int(i), obj_index, t_max, rng,
+                        on_device_leaves=on_device_leaves) for i in idx]
                     out.put({k: np.stack([it[k] for it in items])
                              for k in items[0]})
                 out.put(None)

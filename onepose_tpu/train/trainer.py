@@ -77,8 +77,48 @@ def train_step(state: TrainState, batch, tx, gats_config_items):
     return TrainState(new_params, new_opt_state, state.step + 1), loss
 
 
+def sample_leaves_on_device(seed, counts, offsets, shape3d: int,
+                            num_leaf: int, dustbin_row):
+    """On-device leaf sampling for ONE item: the jax counterpart of
+    datasets.anno.sample_leaf_indices (uniform without replacement per
+    point segment), so the host ships a 4-byte seed instead of running a
+    ~10-30 ms/item lexsort.
+
+    Sparse Fisher–Yates, vectorized over points: draw j ∈ [0, num_leaf)
+    picks v0 uniform over the c−j not-yet-chosen values, then maps it past
+    the j already-chosen ones by the monotone fixed point
+    v ← v0 + #{chosen ≤ v} (converges in ≤ j steps). O(shape3d·k²)
+    elementwise work — no sort, no [T]-sized tensors. The sequential
+    draws are an exchangeable uniform ordered sample, so no extra slot
+    shuffle is needed (the host path shuffles slots to the same
+    distribution; GATs aggregation is slot-order invariant anyway).
+
+    counts: [shape3d] per-point observation counts; offsets: [shape3d]
+    segment starts in the stacked observation axis. Returns
+    [shape3d, num_leaf] int32 rows into the clt stack's T+1 axis
+    (dustbin_row where a point has < num_leaf observations).
+    """
+    counts = counts.astype(jnp.int32)
+    u = jax.random.uniform(jax.random.PRNGKey(seed),
+                           (num_leaf, counts.shape[0]))
+    big = jnp.int32(jnp.iinfo(jnp.int32).max)
+    chosen = jnp.full((num_leaf, counts.shape[0]), big, jnp.int32)
+    for j in range(num_leaf):
+        rem = counts - j
+        v0 = jnp.clip((u[j] * rem).astype(jnp.int32), 0,
+                      jnp.maximum(rem - 1, 0))
+        v = v0
+        for _ in range(j):
+            v = v0 + jnp.sum(chosen[:j] <= v[None, :], axis=0,
+                             dtype=jnp.int32)
+        chosen = chosen.at[j].set(jnp.where(rem > 0, v, big))
+    pick = jnp.where(chosen == big, dustbin_row,
+                     offsets[None, :].astype(jnp.int32) + chosen)
+    return pick.T
+
+
 def materialize_light_batch(db, light, shape2d: int, shape3d: int,
-                            pad_val: int = 0):
+                            pad_val: int = 0, num_leaf: int = 8):
     """Expand a host-light batch into the dense training batch ON DEVICE.
 
     db: device-resident stacks from GATsSPGDataset.device_db()
@@ -95,8 +135,16 @@ def materialize_light_batch(db, light, shape2d: int, shape3d: int,
     """
     obj = light["obj_idx"]
     clt = db["clt_stack"][obj]                      # [B, T+1, D]
-    d2db = jnp.take_along_axis(
-        clt, light["leaf_idx"][..., None].astype(jnp.int32), axis=1)
+    if "leaf_seed" in light:
+        dustbin_row = db["clt_stack"].shape[1] - 1
+        leaf_idx = jax.vmap(
+            lambda s, cnt, off: sample_leaves_on_device(
+                s, cnt, off, shape3d, num_leaf, dustbin_row)
+        )(light["leaf_seed"], db["count_stack"][obj],
+          db["offset_stack"][obj]).reshape(obj.shape[0], -1)
+    else:
+        leaf_idx = light["leaf_idx"].astype(jnp.int32)
+    d2db = jnp.take_along_axis(clt, leaf_idx[..., None], axis=1)
     d3db = db["avg_stack"][obj]                     # [B, S3, D]
 
     pairs = light["pairs"].astype(jnp.int32)        # [B, P, 2]
@@ -124,15 +172,15 @@ def materialize_light_batch(db, light, shape2d: int, shape3d: int,
 @functools.partial(
     jax.jit,
     static_argnames=("tx", "gats_config_items", "shape2d", "shape3d",
-                     "pad_val"),
+                     "pad_val", "num_leaf"),
     donate_argnums=(0,))
 def gather_train_step(state: TrainState, light, db, tx, gats_config_items,
-                      shape2d, shape3d, pad_val):
+                      shape2d, shape3d, pad_val, num_leaf=8):
     gats_config = dict(gats_config_items)
 
     def loss_fn(params):
         batch = materialize_light_batch(db, light, shape2d, shape3d,
-                                        pad_val)
+                                        pad_val, num_leaf)
         out = gats_spg.forward(params, batch, gats_config)
         return focal_loss(out.conf_matrix, batch["conf_gt"])
 
@@ -145,18 +193,21 @@ def gather_train_step(state: TrainState, light, db, tx, gats_config_items,
 def make_gather_train_step(tx: optax.GradientTransformation,
                            gats_config: Optional[dict],
                            db, shape2d: int, shape3d: int,
-                           pad_val: int = 0):
+                           pad_val: int = 0, num_leaf: int = 8):
     """Device-resident-DB training step: step(state, light_batch).
 
     ``db`` arrays should already be on device (replicated under a mesh);
-    light batches shard over 'data'."""
+    light batches shard over 'data'. Light batches carrying ``leaf_seed``
+    (instead of ``leaf_idx``) sample their leaves on device — the db must
+    then include ``seg_stack``/``offset_stack`` (device_db provides them).
+    """
     cfg = dict(gats_spg.DEFAULT_CONFIG)
     cfg.update(gats_config or {})
     items = tuple(sorted(cfg.items()))
 
     def step(state, light):
         return gather_train_step(state, light, db, tx, items,
-                                 shape2d, shape3d, pad_val)
+                                 shape2d, shape3d, pad_val, num_leaf)
 
     return step
 

@@ -207,3 +207,99 @@ def test_gather_path_matches_host_path(tmp_path):
     for _ in range(4):
         state, l1 = step(state, lb)
     assert float(l1) < float(l0)
+
+
+def test_on_device_leaf_sampling():
+    """trainer.sample_leaves_on_device must be a valid without-replacement
+    segment sampler: every pick lies inside its point's observation
+    segment, picks are unique per point, points with fewer than num_leaf
+    observations get exactly count real picks + dustbin padding — matching
+    datasets.anno.sample_leaf_indices's semantics (which reproduce the
+    reference's data_utils.py:163-205 leaf assembly)."""
+    shape3d, num_leaf = 12, 4
+    counts = np.array([0, 1, 3, 4, 9, 2, 7, 0, 5, 4, 1, 6], np.int64)
+    total = int(counts.sum())
+    t_max = total + 3  # padding rows beyond total, dustbin row index
+    lower = np.cumsum(counts) - counts
+
+    offsets = lower.astype(np.int32)
+
+    for seed in (0, 1, 2):
+        pick = np.asarray(trainer.sample_leaves_on_device(
+            jnp.uint32(seed), jnp.asarray(counts), jnp.asarray(offsets),
+            shape3d, num_leaf, t_max))
+        assert pick.shape == (shape3d, num_leaf)
+        for p in range(shape3d):
+            real = pick[p][pick[p] != t_max]
+            assert len(real) == min(counts[p], num_leaf)
+            assert len(np.unique(real)) == len(real)  # w/o replacement
+            assert np.all((real >= lower[p]) & (real < lower[p] + counts[p]))
+
+    # different seeds give different samples (point 4 has C(9,4) choices)
+    p0 = np.asarray(trainer.sample_leaves_on_device(
+        jnp.uint32(0), jnp.asarray(counts), jnp.asarray(offsets),
+        shape3d, num_leaf, t_max))
+    p1 = np.asarray(trainer.sample_leaves_on_device(
+        jnp.uint32(1), jnp.asarray(counts), jnp.asarray(offsets),
+        shape3d, num_leaf, t_max))
+    assert not np.array_equal(p0, p1)
+
+
+def test_gather_step_with_device_leaf_sampling(tmp_path):
+    """End-to-end: light batches shipping only a leaf_seed drive the jitted
+    gather step; the materialized batch equals the leaf_idx path when the
+    same picks are replayed, and training reduces the loss."""
+    import sys
+    import os.path as osp
+
+    sys.path.insert(0, osp.dirname(osp.abspath(__file__)))
+    from test_cli_integration import build_dataset
+
+    from onepose_tpu.datasets.gats_dataset import GATsSPGDataset
+    from onepose_tpu.datasets.merge import merge_anno
+
+    rng = np.random.default_rng(4)
+    build_dataset(tmp_path, rng)
+    root = str(tmp_path)
+    train_json = f"{root}/data/cache/t/train.json"
+    merge_anno(f"{root}/data/sfm_model", ["0001-obj-box"], train_json)
+
+    kw = dict(num_leaf=4, split="train", shape2d=24, shape3d=40, seed=5)
+    ds = GATsSPGDataset(train_json, **kw)
+    db_np, obj_index = ds.device_db()
+    light = next(ds.light_batches(obj_index, db_np["t_max"], 2,
+                                  shuffle=True, seed=7,
+                                  on_device_leaves=True))
+    assert "leaf_seed" in light and "leaf_idx" not in light
+
+    db = {k: jnp.asarray(db_np[k]) for k in
+          ("clt_stack", "avg_stack", "count_stack", "offset_stack")}
+    lb = {k: jnp.asarray(v) for k, v in light.items()}
+    dev = trainer.materialize_light_batch(db, lb, shape2d=24, shape3d=40,
+                                          pad_val=0, num_leaf=4)
+
+    # consistency: replaying the sampled picks through the leaf_idx path
+    # gives the identical materialized batch
+    dustbin = db_np["clt_stack"].shape[1] - 1
+    picks = np.stack([np.asarray(trainer.sample_leaves_on_device(
+        jnp.uint32(s), db["count_stack"][int(o)],
+        db["offset_stack"][int(o)], 40, 4, dustbin))
+        for s, o in zip(light["leaf_seed"], light["obj_idx"])])
+    light_idx = {k: v for k, v in light.items() if k != "leaf_seed"}
+    light_idx["leaf_idx"] = picks.reshape(2, -1).astype(np.int32)
+    dev2 = trainer.materialize_light_batch(
+        db, {k: jnp.asarray(v) for k, v in light_idx.items()},
+        shape2d=24, shape3d=40, pad_val=0, num_leaf=4)
+    for k in dev:
+        np.testing.assert_array_equal(
+            np.asarray(dev[k]), np.asarray(dev2[k]), err_msg=k)
+
+    tx = trainer.make_optimizer(base_lr=1e-3, milestones_steps=[100])
+    state = trainer.init_train_state(
+        jax.random.PRNGKey(0), tx, {"num_blocks": 1})
+    step = trainer.make_gather_train_step(
+        tx, {"num_blocks": 1}, db, 24, 40, 0, num_leaf=4)
+    state, l0 = step(state, lb)
+    for _ in range(4):
+        state, l1 = step(state, lb)
+    assert float(l1) < float(l0)

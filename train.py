@@ -116,14 +116,20 @@ def train(cfg):
     # descriptors, and sparse GT pairs — the leaf gather and dense conf_gt
     # materialize on device (trainer.materialize_light_batch).
     device_resident = bool(cfg.datamodule.get("device_resident", True))
+    # on-device leaf sampling: ship a per-item seed instead of running
+    # the sampling lexsort on host (default on — the host path remains
+    # for the sample-exact-equality test)
+    device_leaves = bool(cfg.datamodule.get("device_leaf_sampling", True))
     if device_resident:
         db_np, obj_index = train_ds.device_db()
-        db = pmesh.replicate(
-            mesh, {"clt_stack": db_np["clt_stack"],
-                   "avg_stack": db_np["avg_stack"]})
+        db_keys = ["clt_stack", "avg_stack"]
+        if device_leaves:
+            db_keys += ["count_stack", "offset_stack"]
+        db = pmesh.replicate(mesh, {k: db_np[k] for k in db_keys})
         gather_step_fn = trainer.make_gather_train_step(
             tx, gats_cfg, db, cfg.datamodule.shape2d,
-            cfg.datamodule.shape3d, cfg.datamodule.assign_pad_val)
+            cfg.datamodule.shape3d, cfg.datamodule.assign_pad_val,
+            num_leaf=int(cfg.datamodule.num_leaf))
         if is_main:
             print(f"[train] device-resident DB: "
                   f"{db_np['clt_stack'].nbytes / 1e6:.0f} MB, "
@@ -138,7 +144,7 @@ def train(cfg):
         if device_resident:
             batch_iter = train_ds.light_batches(
                 obj_index, db_np["t_max"], global_bs, shuffle=True,
-                seed=cfg.seed + epoch)
+                seed=cfg.seed + epoch, on_device_leaves=device_leaves)
         else:
             batch_iter = train_ds.batches(
                 global_bs, shuffle=True, seed=cfg.seed + epoch)
