@@ -158,3 +158,60 @@ def test_polyphase_stem_matches_direct():
     o_p = superpoint.extract(params, img, {**cfg, "stem": "polyphase"})
     assert bool(jnp.all(o_d.keypoints == o_p.keypoints))
     assert bool(jnp.all(o_d.mask == o_p.mask))
+
+
+def test_nms_aware_top_k_exact():
+    """The two-stage NMS-aware top-k must equal the flat top_k on any
+    post-NMS score map (same values AND same indices for valid slots)."""
+    import numpy as np
+    import jax.numpy as jnp
+    import jax
+
+    from onepose_tpu.models.superpoint import _nms_aware_top_k, simple_nms
+
+    rng = np.random.default_rng(3)
+    h, w, k, r = 128, 256, 200, 4
+    dense = jnp.asarray(rng.random((1, h, w)).astype(np.float32) ** 4)
+    nms = np.asarray(simple_nms(dense, r))[0]
+    masked = jnp.asarray(np.where(nms > 0.005, nms, -1.0))
+
+    v2, i2 = jax.jit(
+        lambda m: _nms_aware_top_k(m, k, r, True))(masked)
+    v1, i1 = jax.jit(
+        lambda m: _nms_aware_top_k(m, k, r, False))(masked)
+    np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2))
+    valid = np.asarray(v1) > 0
+    np.testing.assert_array_equal(
+        np.asarray(i1)[valid], np.asarray(i2)[valid])
+
+
+def test_separable_nms_matches_dense_window():
+    """Separable rows+cols max-pool NMS equals the reference's single
+    (2r+1)^2-window recurrence bit-for-bit."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from onepose_tpu.models.superpoint import simple_nms
+
+    def maxpool_dense(x, radius):
+        kk = 2 * radius + 1
+        return jax.lax.reduce_window(
+            x, -jnp.inf, jax.lax.max, (1, kk, kk), (1, 1, 1),
+            ((0, 0), (radius, radius), (radius, radius)))
+
+    def nms_dense(scores, r):
+        zeros = jnp.zeros_like(scores)
+        max_mask = scores == maxpool_dense(scores, r)
+        for _ in range(2):
+            supp = maxpool_dense(max_mask.astype(scores.dtype), r) > 0
+            ss = jnp.where(supp, zeros, scores)
+            nm = ss == maxpool_dense(ss, r)
+            max_mask = max_mask | (nm & (~supp))
+        return jnp.where(max_mask, scores, zeros)
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.random((2, 64, 96)).astype(np.float32))
+    for r in (2, 4):
+        np.testing.assert_array_equal(
+            np.asarray(simple_nms(x, r)), np.asarray(nms_dense(x, r)))
