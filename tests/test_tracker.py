@@ -176,3 +176,40 @@ def test_motion_prediction_fallback():
     tracker.pose_history = [p0, p1]
     pred = tracker.motion_prediction()
     np.testing.assert_allclose(pred[:3, 3], [0.02, 0, 0], atol=1e-6)
+
+
+def test_track_static_shapes_no_retrace():
+    """The fused per-frame kernels must not retrace when the number of
+    valid keypoints/matches changes between frames — that is the point of
+    the static-shape redesign (each distinct count used to recompile)."""
+    from onepose_tpu import tracker as trk
+
+    rng = np.random.default_rng(3)
+    K, pts3d, frames = make_plane_sequence(rng, n_frames=4, n_points=60)
+    n = len(pts3d)
+    budget = 96
+
+    def pad(fr, n_valid):
+        kp = np.zeros((budget, 2), np.float32)
+        kp[:n] = fr["keypoints"]
+        ds = np.ones((budget, 64), np.float32)
+        ds[:n] = fr["descriptors"]
+        mask = np.zeros(budget, bool)
+        mask[:n_valid] = True
+        return kp, ds, mask
+
+    tracker = BATracker(win_size=4, pnp_hypotheses=64, ba_iterations=2)
+    kp, ds, mask = pad(frames[0], n)
+    assert tracker.add_keyframe(frames[0]["image"], kp, ds, mask,
+                                frames[0]["pose"], K,
+                                mkpts3d=pts3d, kpt_indices=np.arange(n))
+
+    flow0 = trk._flow_pnp_step._cache_size()
+    assoc0 = trk._assoc_pnp_step._cache_size()
+    # vary the valid-keypoint count per frame: the masks change, the
+    # shapes do not
+    for i, n_valid in ((1, n), (2, n - 7), (3, n - 13)):
+        kp, ds, mask = pad(frames[i], n_valid)
+        tracker.track(frames[i]["image"], kp, ds, mask, K)
+    assert trk._flow_pnp_step._cache_size() - flow0 <= 1
+    assert trk._assoc_pnp_step._cache_size() - assoc0 <= 1
