@@ -88,6 +88,28 @@ def _assoc_pnp_step(kf_desc, kf_mask, kf_src_ok, kf_pts3d, q_desc, q_mask,
     return pose, m0, keep, n_keep, pnp.num_inliers, used_pnp
 
 
+@functools.partial(jax.jit, static_argnames=("it1", "it2", "refine_points"))
+def _window_ba_step(poses, points, cam_idx, pt_idx, uv, Kobs, mask,
+                    it1, it2, refine_points):
+    """Both BA stages + the pose↔camera conversions in ONE dispatch:
+    camera refinement with points held fixed (DB anchors), then
+    triangulated-point refinement with cameras fixed. One host fetch per
+    tracked frame instead of ~2·win_size small round trips."""
+    cams = jax.vmap(lm.pose_to_camera)(poses)
+    prob = lm.BAProblem(cams, points, cam_idx, pt_idx, uv, Kobs, mask)
+    res = lm.solve_ba(prob, iterations=it1, fix_points=True,
+                      fix_first_camera=True)
+    if refine_points:
+        res2 = lm.solve_ba(
+            lm.BAProblem(res.cameras, points, cam_idx, pt_idx, uv, Kobs,
+                         mask),
+            iterations=it2, fix_cameras=True)
+        pts_new = res2.points
+    else:
+        pts_new = points
+    return jax.vmap(lm.camera_to_pose)(res.cameras), pts_new
+
+
 @dataclass
 class Frame:
     image: np.ndarray            # [H, W] grayscale float in [0, 1]
@@ -98,6 +120,20 @@ class Frame:
     K: np.ndarray                # [3, 3]
     point_ids: np.ndarray        # [K] global 3D point id, -1 = none
     is_keyframe: bool = False
+    # device-resident mirrors (uploaded once at construction; the fused
+    # per-frame kernels read these so the keyframe image/descriptors are
+    # not re-uploaded on every tracked frame)
+    image_dev: Optional[jax.Array] = None
+    keypoints_dev: Optional[jax.Array] = None
+    descriptors_dev: Optional[jax.Array] = None
+    kpt_mask_dev: Optional[jax.Array] = None
+
+    def __post_init__(self):
+        if self.image_dev is None:
+            self.image_dev = jnp.asarray(self.image)
+            self.keypoints_dev = jnp.asarray(self.keypoints)
+            self.descriptors_dev = jnp.asarray(self.descriptors)
+            self.kpt_mask_dev = jnp.asarray(self.kpt_mask)
 
 
 class BATracker:
@@ -182,7 +218,7 @@ class BATracker:
         t = dR @ p2[:3, 3] + dt
         return np.concatenate([R, t[:, None]], axis=1).astype(np.float32)
 
-    def _pose_from_flow(self, query_image, K):
+    def _pose_from_flow(self, q_img_dev, K):
         """LK-track the last keyframe's assigned keypoints into the query,
         then PnP on the flowed 2D ↔ known 3D — one fused dispatch over the
         full static keypoint set (masked), one host sync."""
@@ -192,8 +228,8 @@ class BATracker:
             return None, None
         pts3d = self.points3d[np.clip(kf.point_ids, 0, None)]
         pose, inl, n_status, success = jax.tree.map(np.asarray, _flow_pnp_step(
-            jnp.asarray(kf.image), jnp.asarray(query_image),
-            jnp.asarray(kf.keypoints), jnp.asarray(has3d),
+            kf.image_dev, q_img_dev,
+            kf.keypoints_dev, jnp.asarray(has3d),
             jnp.asarray(pts3d), jnp.asarray(K, jnp.float32),
             self._next_key(), self.pnp_hypotheses))
         if int(n_status) < 8 or not bool(success):
@@ -207,7 +243,14 @@ class BATracker:
         if not self.frames:
             return None, info
 
-        pose_init, inl = self._pose_from_flow(query_image, K)
+        # upload the query tensors ONCE; the fused steps and the stored
+        # Frame share these device arrays
+        q_img_dev = jnp.asarray(query_image, jnp.float32)
+        q_kpts_dev = jnp.asarray(keypoints, jnp.float32)
+        q_desc_dev = jnp.asarray(descriptors, jnp.float32)
+        q_mask_dev = jnp.asarray(kpt_mask, bool)
+
+        pose_init, inl = self._pose_from_flow(q_img_dev, K)
         if pose_init is not None:
             info["mode"] = "flow"
             info["flow_inliers"] = inl
@@ -224,11 +267,10 @@ class BATracker:
         kf_has3d = kf.point_ids >= 0
         pose, m0, keep, n_keep, pnp_inl, used_pnp = jax.tree.map(
             np.asarray, _assoc_pnp_step(
-                jnp.asarray(kf.descriptors), jnp.asarray(kf.kpt_mask),
+                kf.descriptors_dev, kf.kpt_mask_dev,
                 jnp.asarray(kf_has3d),
                 jnp.asarray(self.points3d[np.clip(kf.point_ids, 0, None)]),
-                jnp.asarray(descriptors), jnp.asarray(kpt_mask),
-                jnp.asarray(keypoints, jnp.float32),
+                q_desc_dev, q_mask_dev, q_kpts_dev,
                 jnp.asarray(pose_init), jnp.asarray(K, jnp.float32),
                 self._next_key(), self.pnp_hypotheses,
                 self.reproj_gate_scale))
@@ -255,7 +297,9 @@ class BATracker:
             kpt_mask=np.asarray(kpt_mask, bool),
             pose=pose_init[:3, :4].astype(np.float32),
             K=np.asarray(K, np.float32),
-            point_ids=point_ids)
+            point_ids=point_ids,
+            image_dev=q_img_dev, keypoints_dev=q_kpts_dev,
+            descriptors_dev=q_desc_dev, kpt_mask_dev=q_mask_dev)
         self.frames.append(query_frame)
         self._prune_window()
 
@@ -315,59 +359,68 @@ class BATracker:
         if C < 2:
             return self.frames[-1].pose
 
-        obs_cam, obs_pt, obs_uv, obs_K = [], [], [], []
-        used_points: Dict[int, int] = {}
+        # Vectorized observation assembly (no per-observation Python loop).
+        cam_list, pid_raw, uv_list, K_list = [], [], [], []
         for ci, fr in enumerate(self.frames):
             idx = np.where((fr.point_ids >= 0) & fr.kpt_mask)[0]
-            for s in idx:
-                pid = int(fr.point_ids[s])
-                if pid not in used_points:
-                    used_points[pid] = len(used_points)
-                obs_cam.append(ci)
-                obs_pt.append(used_points[pid])
-                obs_uv.append(fr.keypoints[s])
-                obs_K.append([fr.K[0, 0], fr.K[1, 1],
-                              fr.K[0, 2], fr.K[1, 2]])
+            cam_list.append(np.full(len(idx), ci, np.int32))
+            pid_raw.append(fr.point_ids[idx])
+            uv_list.append(fr.keypoints[idx])
+            K_list.append(np.tile(np.array(
+                [fr.K[0, 0], fr.K[1, 1], fr.K[0, 2], fr.K[1, 2]],
+                np.float32), (len(idx), 1)))
+        obs_cam = np.concatenate(cam_list)
+        pid_all = np.concatenate(pid_raw)
+        obs_uv = np.concatenate(uv_list).astype(np.float32)
+        obs_K = np.concatenate(K_list)
         O = len(obs_cam)
         if O < 16:
             return self.frames[-1].pose
+        pid_list, obs_pt = np.unique(pid_all, return_inverse=True)
+        n_pts = len(pid_list)
         if O > self.max_obs:
             keep = np.linspace(0, O - 1, self.max_obs).astype(int)
         else:
             keep = np.arange(O)
 
-        pid_list = np.array(sorted(used_points, key=used_points.get))
-        points = self.points3d[pid_list]
-        cams = np.stack([
-            np.asarray(lm.pose_to_camera(fr.pose)) for fr in self.frames])
+        # Pad every axis to a static bucket so the jitted LM solver does
+        # not retrace as window contents change frame to frame (each
+        # distinct (C, P, O) shape costs a full compile): cameras to
+        # win_size (repeat the last real camera; no observation references
+        # the copies, LM damping keeps their update at zero), points and
+        # observations to power-of-two buckets (padded obs are masked out,
+        # padded points carry no observations).
+        poses = np.stack([fr.pose for fr in self.frames]).astype(np.float32)
+        if C < self.win_size:
+            poses = np.concatenate(
+                [poses, np.repeat(poses[-1:], self.win_size - C, axis=0)])
+        p_pad = max(64, 1 << (n_pts - 1).bit_length())
+        points_p = np.zeros((p_pad, 3), np.float32)
+        points_p[:n_pts] = self.points3d[pid_list]
+        n_obs = len(keep)
+        o_pad = max(256, 1 << (n_obs - 1).bit_length())
+        obs_cam_p = np.zeros(o_pad, np.int32)
+        obs_pt_p = np.zeros(o_pad, np.int32)
+        obs_uv_p = np.zeros((o_pad, 2), np.float32)
+        obs_K_p = np.tile(obs_K[0], (o_pad, 1))
+        obs_mask = np.zeros(o_pad, bool)
+        obs_cam_p[:n_obs] = obs_cam[keep]
+        obs_pt_p[:n_obs] = obs_pt[keep].astype(np.int32)
+        obs_uv_p[:n_obs] = obs_uv[keep]
+        obs_K_p[:n_obs] = obs_K[keep]
+        obs_mask[:n_obs] = True
 
-        problem = lm.BAProblem(
-            cameras=jnp.asarray(cams),
-            points=jnp.asarray(points),
-            cam_idx=jnp.asarray(np.asarray(obs_cam)[keep], jnp.int32),
-            pt_idx=jnp.asarray(np.asarray(obs_pt)[keep], jnp.int32),
-            uv=jnp.asarray(np.asarray(obs_uv)[keep], jnp.float32),
-            K=jnp.asarray(np.asarray(obs_K)[keep], jnp.float32),
-            mask=jnp.ones(len(keep), bool))
-        # Stage 1: refine cameras holding all points fixed (DB anchors).
-        res = lm.solve_ba(problem, iterations=self.ba_iterations,
-                          fix_points=True, fix_first_camera=True)
-        cams_new = np.asarray(res.cameras)
-
-        # Stage 2: refine only the triangulated (non-DB) points.
+        # Both solve stages + pose conversions in one dispatch, one fetch.
         free = ~self.point_fixed[pid_list]
+        poses_new, pts_new = jax.tree.map(np.asarray, _window_ba_step(
+            jnp.asarray(poses), jnp.asarray(points_p),
+            jnp.asarray(obs_cam_p), jnp.asarray(obs_pt_p),
+            jnp.asarray(obs_uv_p), jnp.asarray(obs_K_p),
+            jnp.asarray(obs_mask),
+            self.ba_iterations, max(self.ba_iterations // 2, 2),
+            bool(free.any())))
         if free.any():
-            res2 = lm.solve_ba(
-                lm.BAProblem(res.cameras, problem.points,
-                             problem.cam_idx, problem.pt_idx, problem.uv,
-                             problem.K, problem.mask),
-                iterations=max(self.ba_iterations // 2, 2),
-                fix_cameras=True)
-            pts_new = np.asarray(res2.points)
-            upd = pid_list[free]
-            self.points3d[upd] = pts_new[free]
-
+            self.points3d[pid_list[free]] = pts_new[:n_pts][free]
         for ci, fr in enumerate(self.frames):
-            fr.pose = np.asarray(
-                lm.camera_to_pose(jnp.asarray(cams_new[ci])))
+            fr.pose = poses_new[ci]
         return self.frames[-1].pose
