@@ -330,20 +330,24 @@ def _bilinear_sample_desc(desc: jnp.ndarray, kpts_xy: jnp.ndarray,
 
 
 def _nms_aware_top_k(masked: jnp.ndarray, k: int, nms_radius: int,
-                     enabled: bool = True):
-    """Exact top-k over a post-NMS score map, two-stage.
+                     enabled: bool = False):
+    """Two-stage top-k over a post-NMS score map.
 
-    After simple_nms, surviving scores are > nms_radius apart in Chebyshev
-    distance, so a chunk of ``ch`` rows holds at most
+    When distinct-valued survivors are > nms_radius apart in Chebyshev
+    distance, a chunk of ``ch`` rows holds at most
     ceil(ch/(r+1)) * ceil(W/(r+1)) candidates — top-k within row chunks
-    followed by top-k over the gathered candidates is EXACT (tie order is
-    preserved: chunk-local index order equals global flat order within a
-    chunk, and chunks are scanned in order). Measured 4.10 -> 2.34
-    ms/batch-8 at 512x512/k=1024 on v5e vs the flat jax.lax.top_k.
+    followed by top-k over the gathered candidates then equals the flat
+    top_k, tie-order included. Measured 4.10 -> 2.34 ms/batch-8 at
+    512x512/k=1024 on v5e vs the flat jax.lax.top_k.
 
-    Precondition: ``masked`` must be post-NMS with non-survivors below
-    every survivor (the select path masks them to -1). Falls back to the
-    flat top_k when the decomposition cannot help.
+    CAVEAT — why this ships disabled: exactly-tied scores break the
+    spacing bound. simple_nms keeps EVERY pixel of a constant-score
+    region (ties pass ``scores == maxpool``), so a flat saturated area
+    above the keypoint threshold floods its chunk past ``kc`` and the
+    per-chunk truncation drops real survivors. In-pipeline the flat
+    top_k measured perf-neutral at protocol shapes (XLA overlaps it), so
+    exactness wins by default; enable only for score maps known to be
+    tie-free at much larger image sizes.
     """
     h, w = masked.shape
     ch = 8
@@ -381,7 +385,7 @@ def _select_keypoints_single(scores: jnp.ndarray, desc: jnp.ndarray,
 
     top_scores, top_idx = _nms_aware_top_k(
         masked, k, config["nms_radius"],
-        config.get("two_stage_topk", True))
+        config.get("two_stage_topk", False))
     ys = (top_idx // w).astype(jnp.float32)
     xs = (top_idx % w).astype(jnp.float32)
     valid = top_scores > 0.0

@@ -139,6 +139,21 @@ def _lk_level(im0, im1, pts0, guess, win: int, iters: int, eps: float,
     _, pos, _ = jax.lax.while_loop(
         cond, body, (0, guess, jnp.logical_not(ok)))
 
+    # A track whose final position sits at the patch-sampling clamp was
+    # stopped short of its true displacement (per-level motion beyond the
+    # margin) — mark it failed instead of returning a confidently-wrong
+    # position (the gather formulation could walk arbitrarily far; cv2
+    # culls such tracks through its error threshold). A clamp at the
+    # true IMAGE border is exempt: there the patch edge coincides with
+    # the image edge, matching the gather formulation's border clamp.
+    r = win // 2
+    h1, w1 = im1.shape
+    loc = jnp.floor(pos - org1)
+    lo_m = (loc < r) & (org1 > 0)
+    hi_m = (loc > size - r - 2) & (org1 < jnp.array(
+        [max(w1 - size, 0), max(h1 - size, 0)], jnp.float32)[None, :])
+    ok = ok & ~(lo_m | hi_m).any(axis=1)
+
     def final_err(pos1, pat1, o1, p0w):
         return jnp.mean(jnp.abs(
             p0w - _sample_window(pat1, pos1 - o1, win)))

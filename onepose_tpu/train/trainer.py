@@ -77,7 +77,7 @@ def train_step(state: TrainState, batch, tx, gats_config_items):
     return TrainState(new_params, new_opt_state, state.step + 1), loss
 
 
-def sample_leaves_on_device(seed, counts, offsets, shape3d: int,
+def sample_leaves_on_device(seed, counts, offsets,
                             num_leaf: int, dustbin_row):
     """On-device leaf sampling for ONE item: the jax counterpart of
     datasets.anno.sample_leaf_indices (uniform without replacement per
@@ -139,7 +139,7 @@ def materialize_light_batch(db, light, shape2d: int, shape3d: int,
         dustbin_row = db["clt_stack"].shape[1] - 1
         leaf_idx = jax.vmap(
             lambda s, cnt, off: sample_leaves_on_device(
-                s, cnt, off, shape3d, num_leaf, dustbin_row)
+                s, cnt, off, num_leaf, dustbin_row)
         )(light["leaf_seed"], db["count_stack"][obj],
           db["offset_stack"][obj]).reshape(obj.shape[0], -1)
     else:
@@ -199,7 +199,8 @@ def make_gather_train_step(tx: optax.GradientTransformation,
     ``db`` arrays should already be on device (replicated under a mesh);
     light batches shard over 'data'. Light batches carrying ``leaf_seed``
     (instead of ``leaf_idx``) sample their leaves on device — the db must
-    then include ``seg_stack``/``offset_stack`` (device_db provides them).
+    then include ``count_stack``/``offset_stack`` (device_db provides
+    them).
     """
     cfg = dict(gats_spg.DEFAULT_CONFIG)
     cfg.update(gats_config or {})

@@ -215,3 +215,31 @@ def test_separable_nms_matches_dense_window():
     for r in (2, 4):
         np.testing.assert_array_equal(
             np.asarray(simple_nms(x, r)), np.asarray(nms_dense(x, r)))
+
+
+def test_two_stage_topk_disabled_by_default_for_tied_scores():
+    """Why two_stage_topk ships disabled: a flat constant-score region
+    survives simple_nms at EVERY pixel (ties pass scores == maxpool),
+    flooding a chunk past the NMS spacing bound — the chunked top-k then
+    drops real survivors. The default select path must take the flat
+    top_k and keep them all."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from onepose_tpu.models.superpoint import _nms_aware_top_k, simple_nms
+
+    h, w, k, r = 64, 128, 200, 4
+    dense = np.full((1, h, w), 0.01, np.float32)
+    dense[0, 8:24, :] = 0.5           # flat tied region: 16*128 survivors
+    dense[0, 40, 10:20:2] = 0.3       # a few lower isolated peaks
+    nms = np.asarray(simple_nms(jnp.asarray(dense), r))[0]
+    masked = jnp.asarray(np.where(nms > 0.05, nms, -1.0))
+
+    v_flat, _ = jax.jit(
+        lambda m: _nms_aware_top_k(m, k, r, False))(masked)
+    assert int((np.asarray(v_flat) == 0.5).sum()) == k  # all from the flat
+    # the chunked variant WOULD drop survivors here (documented caveat)
+    v_two, _ = jax.jit(
+        lambda m: _nms_aware_top_k(m, k, r, True))(masked)
+    assert int((np.asarray(v_two) == 0.5).sum()) < k

@@ -227,7 +227,7 @@ def test_on_device_leaf_sampling():
     for seed in (0, 1, 2):
         pick = np.asarray(trainer.sample_leaves_on_device(
             jnp.uint32(seed), jnp.asarray(counts), jnp.asarray(offsets),
-            shape3d, num_leaf, t_max))
+            num_leaf, t_max))
         assert pick.shape == (shape3d, num_leaf)
         for p in range(shape3d):
             real = pick[p][pick[p] != t_max]
@@ -238,10 +238,10 @@ def test_on_device_leaf_sampling():
     # different seeds give different samples (point 4 has C(9,4) choices)
     p0 = np.asarray(trainer.sample_leaves_on_device(
         jnp.uint32(0), jnp.asarray(counts), jnp.asarray(offsets),
-        shape3d, num_leaf, t_max))
+        num_leaf, t_max))
     p1 = np.asarray(trainer.sample_leaves_on_device(
         jnp.uint32(1), jnp.asarray(counts), jnp.asarray(offsets),
-        shape3d, num_leaf, t_max))
+        num_leaf, t_max))
     assert not np.array_equal(p0, p1)
 
 
@@ -283,7 +283,7 @@ def test_gather_step_with_device_leaf_sampling(tmp_path):
     dustbin = db_np["clt_stack"].shape[1] - 1
     picks = np.stack([np.asarray(trainer.sample_leaves_on_device(
         jnp.uint32(s), db["count_stack"][int(o)],
-        db["offset_stack"][int(o)], 40, 4, dustbin))
+        db["offset_stack"][int(o)], 4, dustbin))
         for s, o in zip(light["leaf_seed"], light["obj_idx"])])
     light_idx = {k: v for k, v in light.items() if k != "leaf_seed"}
     light_idx["leaf_idx"] = picks.reshape(2, -1).astype(np.int32)
