@@ -70,3 +70,38 @@ class PrefetchLoader:
             if item is None:
                 break
             yield item
+
+
+def stage_ahead(batches: Iterator, stage_fn: Callable,
+                depth: int = 2) -> Iterator:
+    """Apply ``stage_fn`` (typically a sharded ``jax.device_put``) on a
+    background thread ``depth`` batches ahead of consumption, overlapping
+    host→device upload with the device step. JAX transfers are async from
+    the caller's thread, so staging ahead keeps the copy engine busy while
+    the previous step computes — on a bandwidth-limited link the loop cost
+    becomes max(upload, step) instead of their sum.
+
+    Order-preserving; exceptions from ``stage_fn`` or the source iterator
+    re-raise at the consumption point.
+    """
+    out: "queue.Queue" = queue.Queue(maxsize=max(depth, 1))
+    _end = object()
+
+    def producer():
+        try:
+            for b in batches:
+                out.put(stage_fn(b))
+            out.put(_end)
+        except BaseException as e:  # re-raised by the consumer
+            out.put(e)
+
+    t = threading.Thread(target=producer, daemon=True)
+    t.start()
+    while True:
+        item = out.get()
+        if item is _end:
+            break
+        if isinstance(item, BaseException):
+            raise item
+        yield item
+    t.join()

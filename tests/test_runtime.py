@@ -50,3 +50,19 @@ def test_prefetch_loader():
     tail, chunk_t, n_t = batches[-1]
     assert n_t == 2 and tail.shape[0] == 4
     np.testing.assert_allclose(tail[3], tail[1])
+
+
+def test_stage_ahead_order_and_errors():
+    from onepose_tpu.runtime.loader import stage_ahead
+
+    out = list(stage_ahead(iter(range(10)), lambda x: x * 2, depth=3))
+    assert out == [x * 2 for x in range(10)]
+
+    def bad(x):
+        if x == 3:
+            raise ValueError("boom")
+        return x
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="boom"):
+        list(stage_ahead(iter(range(10)), bad))

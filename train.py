@@ -150,14 +150,26 @@ def train(cfg):
                 global_bs, shuffle=True, seed=cfg.seed + epoch)
         host_keys = ("descriptors2d_query", "descriptors3d_db",
                      "descriptors2d_db", "conf_gt")
-        for batch_np in batch_iter:
-            if device_resident:
-                batch = pmesh.shard_batch(
+
+        # Slice the local rows + start the sharded device_put on a
+        # staging thread two batches ahead: upload overlaps the step
+        # (runtime.loader.stage_ahead), so the loop costs
+        # max(upload, step) rather than their sum.
+        from onepose_tpu.runtime.loader import stage_ahead
+
+        if device_resident:
+            def to_device(batch_np):
+                return pmesh.shard_batch(
                     mesh, {k: v[lo:hi] for k, v in batch_np.items()})
+        else:
+            def to_device(batch_np):
+                return pmesh.shard_batch(
+                    mesh, {k: batch_np[k][lo:hi] for k in host_keys})
+
+        for batch in stage_ahead(batch_iter, to_device):
+            if device_resident:
                 state, loss = gather_step_fn(state, batch)
             else:
-                batch = pmesh.shard_batch(
-                    mesh, {k: batch_np[k][lo:hi] for k in host_keys})
                 state, loss = step_fn(state, batch)
             global_step += 1
             if global_step % cfg.trainer.log_every_n_steps == 0:
