@@ -316,10 +316,14 @@ class BATracker:
         reprojection/depth culling (ba_tracker.py:546-584)."""
         from onepose_tpu.sfm.triangulate import _triangulate_batch_host
 
+        # One fixed batch size: a single compile instead of one per
+        # power-of-two bucket (the per-bucket compiles dominated the first
+        # tracked frames' latency). Overflow beyond the bucket is dropped —
+        # the tracker caps new points per frame anyway.
+        n_pad = 512
+        if len(new_src) > n_pad:
+            new_src = new_src[:n_pad]
         n = len(new_src)
-        # Pad the batch to a power-of-two bucket: the jitted triangulator
-        # then compiles O(log) variants instead of one per match count.
-        n_pad = max(8, 1 << (n - 1).bit_length())
         uvs = np.zeros((n_pad, 2, 2), np.float32)
         uvs[:n, 0] = kf.keypoints[new_src]
         uvs[:n, 1] = q_kpts[m0[new_src]]
