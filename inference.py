@@ -51,13 +51,28 @@ def inference_core(cfg, data_root, seq_dir, sfm_model_dir, sp_params,
         print(f"[inference] no frames in {seq_dir}/{color_dir}")
         return None
 
+    # Optional data-parallel eval: n_devices > 1 builds a 1D 'data' mesh
+    # and the whole frame→pose program runs SPMD across it (batch_size
+    # must divide n_devices).
+    mesh = None
+    n_dev = int(cfg.get("n_devices", 1) or 1)
+    if n_dev > 1:
+        from onepose_tpu.parallel import mesh as pmesh
+
+        mesh = pmesh.make_mesh(n_dev, (n_dev, 1))
+        if cfg.batch_size % n_dev:
+            raise ValueError(
+                f"batch_size {cfg.batch_size} not divisible by "
+                f"n_devices {n_dev}")
+
     pipe = pipeline.PosePipeline(
         sp_params, gats_params, db,
         sp_config={"max_keypoints": cfg.max_keypoints},
         reproj_threshold=cfg.pnp.reproj_threshold,
         num_hypotheses=cfg.pnp.num_hypotheses,
         refine_iters=cfg.pnp.refine_iters,
-        use_pallas_match=bool(cfg.get("use_pallas_match", False)))
+        use_pallas_match=bool(cfg.get("use_pallas_match", False)),
+        mesh=mesh)
 
     evaluator = Evaluator()
     bs = cfg.batch_size

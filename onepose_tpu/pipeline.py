@@ -123,14 +123,29 @@ class PosePipeline:
                  reproj_threshold: float = 5.0,
                  num_hypotheses: int = 512,
                  refine_iters: int = 5,
-                 use_pallas_match: bool = False):
-        self.sp_params = sp_params
-        self.gats_params = gats_params
+                 use_pallas_match: bool = False,
+                 mesh=None):
+        """``mesh``: optional ``jax.sharding.Mesh`` with a 'data' axis —
+        params and the 3D DB are replicated, each call's frame batch is
+        sharded over 'data', and XLA runs the whole frame→pose program
+        data-parallel across the mesh (the batch must divide the axis).
+        """
+        self.mesh = mesh
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            rep = NamedSharding(mesh, P())
+            self._batch_sharding = NamedSharding(mesh, P("data"))
+            put = lambda t: jax.device_put(t, rep)  # noqa: E731
+        else:
+            put = jnp.asarray
+        self.sp_params = jax.tree.map(put, sp_params)
+        self.gats_params = jax.tree.map(put, gats_params)
         self.db = {
-            "keypoints3d": jnp.asarray(db.keypoints3d),
-            "descriptors3d": jnp.asarray(db.descriptors3d),
-            "descriptors2d_db": jnp.asarray(db.descriptors2d_db),
-            "mask3d": jnp.asarray(db.mask3d),
+            "keypoints3d": put(jnp.asarray(db.keypoints3d)),
+            "descriptors3d": put(jnp.asarray(db.descriptors3d)),
+            "descriptors2d_db": put(jnp.asarray(db.descriptors2d_db)),
+            "mask3d": put(jnp.asarray(db.mask3d)),
         }
         sp_cfg = dict(superpoint.DEFAULT_CONFIG)
         sp_cfg.update(sp_config or {})
@@ -151,6 +166,11 @@ class PosePipeline:
         if keys is None:
             keys = jax.random.split(
                 jax.random.PRNGKey(12345), images.shape[0])
+        if self.mesh is not None:
+            s = self._batch_sharding
+            images = jax.device_put(images, s)
+            Ks = jax.device_put(Ks, s)
+            keys = jax.device_put(jnp.asarray(keys), s)
         return _frame_to_pose_jit(
             self.sp_params, self.gats_params, self.db, images, Ks, keys,
             self.sp_config_items, self.gats_config_items,

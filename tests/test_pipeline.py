@@ -125,3 +125,49 @@ def test_object_db_leaves():
     assert set(p2) <= set(np.arange(9, 13, dtype=float))
     # dustbin scores are 0
     assert (leaf_scores.reshape(3, 4)[0] == 0).sum() == 2
+
+
+def test_pipeline_data_parallel_mesh_matches_single_device():
+    """PosePipeline(mesh=...) must run the identical program SPMD over the
+    virtual 8-device 'data' mesh: outputs equal the meshless pipeline."""
+    from onepose_tpu.parallel import mesh as pmesh
+
+    rng = np.random.default_rng(1)
+    key = jax.random.PRNGKey(0)
+    sp_params = superpoint.init_params(key)
+    gats_params = gats_spg.init_params(key)
+    P, leaf, D = 40, 4, 256
+    idxs = rng.integers(2, 10, P)
+    total = int(idxs.sum())
+    db = anno.build_object_db(
+        avg_keypoints3d=rng.normal(size=(P, 3)).astype(np.float32),
+        avg_descriptors3d=rng.normal(size=(D, P)).astype(np.float32),
+        avg_scores3d=rng.uniform(0, 1, (P, 1)).astype(np.float32),
+        clt_descriptors=rng.normal(size=(D, total)).astype(np.float32),
+        clt_scores=rng.uniform(0, 1, (total, 1)).astype(np.float32),
+        idxs=idxs, num_leaf=leaf, shape3d=48,
+    )
+    kw = dict(sp_config={"max_keypoints": 64}, num_hypotheses=32,
+              refine_iters=2)
+    mesh = pmesh.make_mesh(8, (8, 1))
+    pipe_mesh = pipeline.PosePipeline(sp_params, gats_params, db,
+                                      mesh=mesh, **kw)
+    pipe_one = pipeline.PosePipeline(sp_params, gats_params, db, **kw)
+
+    B = 8
+    images = rng.uniform(0, 1, (B, 64, 64, 1)).astype(np.float32)
+    Ks = np.broadcast_to(np.array(
+        [[120.0, 0, 32], [0, 120.0, 32], [0, 0, 1]], np.float32),
+        (B, 3, 3)).copy()
+    keys = jax.random.split(jax.random.PRNGKey(3), B)
+
+    out_m = pipe_mesh(images, Ks, keys)
+    out_1 = pipe_one(images, Ks, keys)
+    np.testing.assert_allclose(np.asarray(out_m.poses),
+                               np.asarray(out_1.poses), atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(out_m.matches0),
+                                  np.asarray(out_1.matches0))
+    np.testing.assert_array_equal(np.asarray(out_m.success),
+                                  np.asarray(out_1.success))
+    # the mesh run really is sharded over 'data'
+    assert len(out_m.poses.sharding.device_set) == 8
