@@ -52,8 +52,8 @@ def inference_core(cfg, data_root, seq_dir, sfm_model_dir, sp_params,
         return None
 
     # Optional data-parallel eval: n_devices > 1 builds a 1D 'data' mesh
-    # and the whole frame→pose program runs SPMD across it (batch_size
-    # must divide n_devices).
+    # and the whole frame→pose program runs SPMD across it (n_devices
+    # must divide batch_size).
     mesh = None
     n_dev = int(cfg.get("n_devices", 1) or 1)
     if n_dev > 1:
@@ -86,9 +86,11 @@ def inference_core(cfg, data_root, seq_dir, sfm_model_dir, sp_params,
 
     # device_put=True: the loader thread starts each batch's host→device
     # upload as soon as it is assembled, overlapping the transfer with the
-    # previous batch's compute (VERDICT r1 #4).
+    # previous batch's compute (VERDICT r1 #4). Under a mesh the pipeline
+    # device_puts with the 'data' sharding itself — uploading to the
+    # default device first would double the transfer, so skip it there.
     loader = PrefetchLoader(img_lists, load_item, batch_size=bs, depth=2,
-                            device_put=True)
+                            device_put=(mesh is None))
 
     # Pipeline host IO against device compute: keep a bounded window of
     # in-flight batches (device memory for PoseOutputs stays constant on

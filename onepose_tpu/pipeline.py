@@ -128,7 +128,8 @@ class PosePipeline:
         """``mesh``: optional ``jax.sharding.Mesh`` with a 'data' axis —
         params and the 3D DB are replicated, each call's frame batch is
         sharded over 'data', and XLA runs the whole frame→pose program
-        data-parallel across the mesh (the batch must divide the axis).
+        data-parallel across the mesh (the data-axis size must divide
+        the batch).
         """
         self.mesh = mesh
         if mesh is not None:

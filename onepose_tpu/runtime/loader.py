@@ -86,22 +86,45 @@ def stage_ahead(batches: Iterator, stage_fn: Callable,
     """
     out: "queue.Queue" = queue.Queue(maxsize=max(depth, 1))
     _end = object()
+    stop = threading.Event()
 
     def producer():
         try:
             for b in batches:
-                out.put(stage_fn(b))
-            out.put(_end)
+                if stop.is_set():
+                    return
+                staged = stage_fn(b)
+                # cooperative put: never block forever if the consumer
+                # abandoned the generator (exception / GeneratorExit in
+                # the caller's loop) — otherwise the thread and its
+                # staged device batches leak for the process lifetime
+                while not stop.is_set():
+                    try:
+                        out.put(staged, timeout=0.1)
+                        break
+                    except queue.Full:
+                        continue
+            if not stop.is_set():
+                out.put(_end)
         except BaseException as e:  # re-raised by the consumer
-            out.put(e)
+            if not stop.is_set():
+                out.put(e)
 
     t = threading.Thread(target=producer, daemon=True)
     t.start()
-    while True:
-        item = out.get()
-        if item is _end:
-            break
-        if isinstance(item, BaseException):
-            raise item
-        yield item
-    t.join()
+    try:
+        while True:
+            item = out.get()
+            if item is _end:
+                break
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+    finally:
+        stop.set()
+        while not out.empty():  # drop staged batches so HBM frees
+            try:
+                out.get_nowait()
+            except queue.Empty:
+                break
+        t.join()

@@ -316,13 +316,11 @@ class BATracker:
         reprojection/depth culling (ba_tracker.py:546-584)."""
         from onepose_tpu.sfm.triangulate import _triangulate_batch_host
 
-        # One fixed batch size: a single compile instead of one per
-        # power-of-two bucket (the per-bucket compiles dominated the first
-        # tracked frames' latency). Overflow beyond the bucket is dropped —
-        # the tracker caps new points per frame anyway.
-        n_pad = 512
-        if len(new_src) > n_pad:
-            new_src = new_src[:n_pad]
+        # One fixed batch size — the keyframe's keypoint budget, which
+        # bounds len(new_src) — so the triangulator compiles exactly once
+        # (per-bucket compiles dominated the first tracked frames'
+        # latency) and nothing is ever dropped.
+        n_pad = len(kf.point_ids)
         n = len(new_src)
         uvs = np.zeros((n_pad, 2, 2), np.float32)
         uvs[:n, 0] = kf.keypoints[new_src]

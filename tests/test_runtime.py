@@ -66,3 +66,23 @@ def test_stage_ahead_order_and_errors():
     import pytest as _pytest
     with _pytest.raises(ValueError, match="boom"):
         list(stage_ahead(iter(range(10)), bad))
+
+
+def test_stage_ahead_abandoned_consumer_stops_producer():
+    """Breaking out of the consumption loop must stop the staging thread
+    (no thread blocked forever on a full queue holding device batches)."""
+    import threading
+    import time as _time
+
+    from onepose_tpu.runtime.loader import stage_ahead
+
+    n_before = threading.active_count()
+    gen = stage_ahead(iter(range(100)), lambda x: x, depth=2)
+    for v in gen:
+        if v >= 3:
+            break
+    gen.close()
+    deadline = _time.time() + 5.0
+    while threading.active_count() > n_before and _time.time() < deadline:
+        _time.sleep(0.02)
+    assert threading.active_count() <= n_before

@@ -135,6 +135,23 @@ def train(cfg):
                   f"{db_np['clt_stack'].nbytes / 1e6:.0f} MB, "
                   f"{len(obj_index)} objects")
 
+    # Slice the local rows + start the sharded device_put on a staging
+    # thread two batches ahead: upload overlaps the step
+    # (runtime.loader.stage_ahead), so the loop costs max(upload, step)
+    # rather than their sum.
+    from onepose_tpu.runtime.loader import stage_ahead
+
+    host_keys = ("descriptors2d_query", "descriptors3d_db",
+                 "descriptors2d_db", "conf_gt")
+    if device_resident:
+        def to_device(batch_np):
+            return pmesh.shard_batch(
+                mesh, {k: v[lo:hi] for k, v in batch_np.items()})
+    else:
+        def to_device(batch_np):
+            return pmesh.shard_batch(
+                mesh, {k: batch_np[k][lo:hi] for k in host_keys})
+
     global_step = int(np.asarray(state.step))
     for epoch in range(start_epoch, cfg.trainer.max_epochs):
         t0 = time.time()
@@ -148,23 +165,6 @@ def train(cfg):
         else:
             batch_iter = train_ds.batches(
                 global_bs, shuffle=True, seed=cfg.seed + epoch)
-        host_keys = ("descriptors2d_query", "descriptors3d_db",
-                     "descriptors2d_db", "conf_gt")
-
-        # Slice the local rows + start the sharded device_put on a
-        # staging thread two batches ahead: upload overlaps the step
-        # (runtime.loader.stage_ahead), so the loop costs
-        # max(upload, step) rather than their sum.
-        from onepose_tpu.runtime.loader import stage_ahead
-
-        if device_resident:
-            def to_device(batch_np):
-                return pmesh.shard_batch(
-                    mesh, {k: v[lo:hi] for k, v in batch_np.items()})
-        else:
-            def to_device(batch_np):
-                return pmesh.shard_batch(
-                    mesh, {k: batch_np[k][lo:hi] for k in host_keys})
 
         for batch in stage_ahead(batch_iter, to_device):
             if device_resident:
