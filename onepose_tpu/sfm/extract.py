@@ -48,11 +48,18 @@ def load_gray(img_path: str, resize_hw=None) -> np.ndarray:
 
 def extract_to_h5(sp_params, img_lists: List[str], feature_out: str,
                   conf: Optional[dict] = None, batch_size: int = 16,
-                  images: Optional[Dict[str, np.ndarray]] = None):
+                  images: Optional[Dict[str, np.ndarray]] = None,
+                  mesh=None):
     """Extract features for every image path in ``img_lists`` into
     ``feature_out`` (HDF5). ``images`` optionally supplies preloaded
-    grayscale arrays keyed by path (for tests / in-memory pipelines)."""
+    grayscale arrays keyed by path (for tests / in-memory pipelines).
+
+    ``mesh``: optional ``jax.sharding.Mesh`` with a 'data' axis — frame
+    batches shard over it and SuperPoint runs SPMD across the mesh
+    (batch_size must be a multiple of the data-axis size; tail chunks
+    are padded by repetition and sliced after)."""
     import h5py
+    import jax
     import jax.numpy as jnp
 
     from onepose_tpu.models import superpoint
@@ -62,6 +69,21 @@ def extract_to_h5(sp_params, img_lists: List[str], feature_out: str,
     resize_hw = (prep["resize_h"], prep["resize_w"])
     sp_cfg = dict(conf["conf"])
     sp_cfg.pop("descriptor_dim", None)
+
+    put = jnp.asarray
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        if batch_size % mesh.shape["data"]:
+            raise ValueError(
+                f"batch_size {batch_size} not divisible by data axis "
+                f"{mesh.shape['data']}")
+        rep = NamedSharding(mesh, P())
+        data_sh = NamedSharding(mesh, P("data"))
+        sp_params = jax.tree.map(
+            lambda t: jax.device_put(jnp.asarray(t), rep), sp_params)
+        put = lambda t: jax.device_put(  # noqa: E731
+            jnp.asarray(t), data_sh)
 
     with h5py.File(feature_out, "w") as f:
         for start in range(0, len(img_lists), batch_size):
@@ -74,9 +96,12 @@ def extract_to_h5(sp_params, img_lists: List[str], feature_out: str,
                     im = load_gray(p, resize_hw)
                 arrs.append(im)
             sizes = [a.shape for a in arrs]
+            if mesh is not None:
+                while len(arrs) % mesh.shape["data"]:
+                    arrs.append(arrs[-1])  # pad tail; sliced off below
             batch = np.stack(arrs)[..., None]
 
-            out = superpoint.extract(sp_params, jnp.asarray(batch), sp_cfg)
+            out = superpoint.extract(sp_params, put(batch), sp_cfg)
             kpts = np.asarray(out.keypoints)
             scores = np.asarray(out.scores)
             descs = np.asarray(out.descriptors)

@@ -51,16 +51,40 @@ def _pad_feats(kpts, scores, descs, size):
 
 def match_pairs_to_h5(sg_params, pairs: Sequence[Tuple[str, str]],
                       feature_path: str, match_out: str,
-                      conf: Optional[dict] = None, batch_size: int = 8):
+                      conf: Optional[dict] = None, batch_size: int = 8,
+                      mesh=None):
     """Match each (name0, name1) pair using features from ``feature_path``
-    and write matches to ``match_out``."""
+    and write matches to ``match_out``.
+
+    ``mesh``: optional ``jax.sharding.Mesh`` with a 'data' axis — pair
+    batches shard over it and SuperGlue (Sinkhorn included) runs SPMD
+    across the mesh (batch_size must be a multiple of the data-axis
+    size; ragged chunks are padded by repetition and sliced after)."""
     import h5py
+    import jax
     import jax.numpy as jnp
 
     from onepose_tpu.models import superglue
 
     sg_conf = dict(CONF)
     sg_conf.update(conf or {})
+
+    put = jnp.asarray
+    n_dev = 1
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        n_dev = mesh.shape["data"]
+        if batch_size % n_dev:
+            raise ValueError(
+                f"batch_size {batch_size} not divisible by data axis "
+                f"{n_dev}")
+        rep = NamedSharding(mesh, P())
+        data_sh = NamedSharding(mesh, P("data"))
+        sg_params = jax.tree.map(
+            lambda t: jax.device_put(jnp.asarray(t), rep), sg_params)
+        put = lambda t: jax.device_put(  # noqa: E731
+            jnp.asarray(t), data_sh)
 
     # Dedup symmetric pairs (reference match_features.py:47-56).
     seen = set()
@@ -115,8 +139,11 @@ def match_pairs_to_h5(sg_params, pairs: Sequence[Tuple[str, str]],
                                      ("keypoints1", k1), ("scores1", sc1),
                                      ("descriptors1", d1), ("mask1", m1)):
                         data[key].append(val)
-                batch = {k: jnp.asarray(np.stack(v))
-                         for k, v in data.items()}
+                if mesh is not None:
+                    while len(data["mask0"]) % n_dev:
+                        for v in data.values():
+                            v.append(v[-1])  # pad tail; sliced off below
+                batch = {k: put(np.stack(v)) for k, v in data.items()}
                 batch["shape0"] = s0
                 batch["shape1"] = s1
                 res = superglue.match(sg_params, batch, sg_conf)

@@ -65,15 +65,18 @@ def run_sfm(img_lists: Sequence[str], outputs_dir: str, sp_params,
             poses: Dict[str, np.ndarray], sizes: Dict[str, tuple],
             box_path: Optional[str] = None, covis_num: int = 10,
             max_num_points: int = 2500, redo: bool = False,
-            images: Optional[Dict[str, np.ndarray]] = None) -> dict:
+            images: Optional[Dict[str, np.ndarray]] = None,
+            mesh=None) -> dict:
     """End-to-end SfM for one object. Ks/poses/sizes are keyed by image
-    path; ``images`` optionally supplies in-memory grayscale arrays."""
+    path; ``images`` optionally supplies in-memory grayscale arrays.
+    ``mesh``: optional 'data'-axis mesh — the extraction and matching
+    stages (the device-heavy ones) run data-parallel across it."""
     os.makedirs(outputs_dir, exist_ok=True)
     lay = sfm_outputs_layout(outputs_dir, covis_num)
 
     if redo or not osp.exists(lay["feature_out"]):
         extract.extract_to_h5(sp_params, img_lists, lay["feature_out"],
-                              images=images)
+                              images=images, mesh=mesh)
 
     if redo or not osp.exists(lay["covis_pairs_out"]):
         Rs = np.stack([np.asarray(poses[p])[:3, :3] for p in img_lists])
@@ -85,7 +88,8 @@ def run_sfm(img_lists: Sequence[str], outputs_dir: str, sp_params,
 
     if redo or not osp.exists(lay["matches_out"]):
         match.match_pairs_to_h5(
-            sg_params, pair_list, lay["feature_out"], lay["matches_out"])
+            sg_params, pair_list, lay["feature_out"], lay["matches_out"],
+            mesh=mesh)
 
     # posed-but-pointless model (reference generate_empty.py artifact)
     if redo or not osp.exists(lay["empty_dir"]):

@@ -49,11 +49,18 @@ def sfm(cfg):
             outputs_root,
             f"outputs_{cfg.network.detection}_{cfg.network.matching}")
         box_path = osp.join(root_dir, "box3d_corners.txt")
+        mesh = None
+        n_dev = int(cfg.get("n_devices", 1) or 1)
+        if n_dev > 1:
+            from onepose_tpu.parallel import mesh as pmesh
+
+            mesh = pmesh.make_mesh(n_dev, (n_dev, 1))
         stats = runner.run_sfm(
             img_lists, outputs_dir, sp_params, sg_params, Ks, poses,
             sizes, box_path=box_path if osp.exists(box_path) else None,
             covis_num=cfg.sfm.covis_num,
-            max_num_points=cfg.dataset.max_num_kp3d, redo=cfg.redo)
+            max_num_points=cfg.dataset.max_num_kp3d, redo=cfg.redo,
+            mesh=mesh)
         print(f"[sfm] {obj_name}: {stats}")
 
 

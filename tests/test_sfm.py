@@ -374,3 +374,71 @@ def test_covis_pairs_parity_with_reference(tmp_path):
                    for line in open(out_ref2).read().split("\n") if line)
     ours2 = set(pairs_mod.covis_pairs(names2, num_matched=10))
     assert ours2 == ref_set2, (len(ours2), len(ref_set2))
+
+
+def test_sfm_extract_match_data_parallel_mesh(tmp_path):
+    """extract_to_h5 / match_pairs_to_h5 over the virtual 8-device 'data'
+    mesh must produce equivalent artifacts to the meshless run: float
+    arrays to ULP tolerance (per-shard compilation orders conv
+    reductions differently), integer match indices exactly. A ragged
+    tail (padded by repetition, sliced after) is checked functionally."""
+    import h5py
+    import jax
+
+    from onepose_tpu.models import superglue, superpoint
+    from onepose_tpu.parallel import mesh as pmesh
+    from onepose_tpu.sfm import extract as ex, match as ma
+
+    rng = np.random.default_rng(5)
+    key = jax.random.PRNGKey(0)
+    sp_params = superpoint.init_params(key)
+    sg_params = superglue.init_params(key)
+    mesh = pmesh.make_mesh(8, (8, 1))
+
+    names = [f"/x/color/{i}.png" for i in range(8)]
+    images = {n: rng.uniform(0, 1, (64, 64)).astype(np.float32)
+              for n in names}
+    conf = {"preprocessing": {"resize_h": 64, "resize_w": 64},
+            "conf": {"max_keypoints": 64}}
+
+    f1 = str(tmp_path / "f1.h5")
+    f2 = str(tmp_path / "f2.h5")
+    ex.extract_to_h5(sp_params, names, f1, conf=conf, images=images)
+    ex.extract_to_h5(sp_params, names, f2, conf=conf, images=images,
+                     mesh=mesh)
+
+    def h5_dict(path):
+        out = {}
+        with h5py.File(path, "r") as f:
+            f.visititems(lambda n, o: out.__setitem__(n, o[()])
+                         if isinstance(o, h5py.Dataset) else None)
+        return out
+
+    def compare(a, b):
+        assert a.keys() == b.keys()
+        for k in a:
+            if np.issubdtype(a[k].dtype, np.floating):
+                np.testing.assert_allclose(a[k], b[k], atol=1e-5,
+                                           err_msg=k)
+            else:
+                np.testing.assert_array_equal(a[k], b[k], err_msg=k)
+
+    compare(h5_dict(f1), h5_dict(f2))
+
+    pair_list = [(names[i], names[j])
+                 for i in range(8) for j in range(i + 1, 8)][:8]
+    m1 = str(tmp_path / "m1.h5")
+    m2 = str(tmp_path / "m2.h5")
+    ma.match_pairs_to_h5(sg_params, pair_list, f1, m1, batch_size=8)
+    ma.match_pairs_to_h5(sg_params, pair_list, f1, m2, batch_size=8,
+                         mesh=mesh)
+    compare(h5_dict(m1), h5_dict(m2))
+
+    # ragged tail: 5 images / 6 pairs pad to the device count and still
+    # produce a complete, well-formed artifact set
+    f3 = str(tmp_path / "f3.h5")
+    ex.extract_to_h5(sp_params, names[:5], f3, conf=conf, images=images,
+                     mesh=mesh)
+    assert set(h5_dict(f3)) == {
+        f"{n.lstrip('/')}/{d}" for n in names[:5]
+        for d in ("keypoints", "scores", "descriptors", "image_size")}
