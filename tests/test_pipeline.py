@@ -171,3 +171,4 @@ def test_pipeline_data_parallel_mesh_matches_single_device():
                                   np.asarray(out_1.success))
     # the mesh run really is sharded over 'data'
     assert len(out_m.poses.sharding.device_set) == 8
+    jax.clear_caches()  # free the SPMD executables (suite memory budget)

@@ -442,3 +442,6 @@ def test_sfm_extract_match_data_parallel_mesh(tmp_path):
     assert set(h5_dict(f3)) == {
         f"{n.lstrip('/')}/{d}" for n in names[:5]
         for d in ("keypoints", "scores", "descriptors", "image_size")}
+    # drop this test's SPMD executables: accumulated compiled programs
+    # have pushed later tests' XLA compiles into segfault territory
+    jax.clear_caches()
