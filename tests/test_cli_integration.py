@@ -272,3 +272,44 @@ def test_validate_with_plots(tmp_path):
 
     plots = _glob.glob(osp.join(root, "logs", "val_plots", "*.png"))
     assert len(plots) >= 1
+
+
+def test_inference_cli_data_parallel(tmp_path):
+    """inference_core with n_devices=2 runs the eval loop SPMD over the
+    virtual CPU mesh (mesh-aware loader path included) and produces the
+    same report artifacts."""
+    rng = np.random.default_rng(0)
+    build_dataset(tmp_path, rng)
+    import jax
+
+    import inference as inference_cli
+    from onepose_tpu.models import gats_spg, superpoint
+
+    root = str(tmp_path)
+    cfg = Config({
+        "network": Config({"detection": "superpoint",
+                           "matching": "superglue"}),
+        "num_leaf": 4,
+        "shape3d": 32,
+        "max_keypoints": 64,
+        "object_detect_mode": "GT_box",
+        "batch_size": 2,
+        "n_devices": 2,
+        "pnp": Config({"reproj_threshold": 5.0, "num_hypotheses": 32,
+                       "refine_iters": 2}),
+        "output": Config({"eval_dir": osp.join(root, "runs/eval_dp"),
+                          "vis_dir": osp.join(root, "runs/vis_dp")}),
+    })
+    sp_params = superpoint.init_params(jax.random.PRNGKey(0))
+    gats_params = gats_spg.init_params(jax.random.PRNGKey(1))
+
+    data_root = osp.join(
+        root, "data/onepose_datasets/test_data/0001-obj-box")
+    res = inference_cli.inference_core(
+        cfg, data_root, osp.join(data_root, "obj-1"),
+        osp.join(root, "data/sfm_model/0001-obj-box"),
+        sp_params, gats_params)
+    assert set(res.keys()) == {"cmd1", "cmd3", "cmd5"}
+    assert osp.exists(
+        osp.join(root, "runs/eval_dp", "0001-obj-boxobj-1.txt"))
+    jax.clear_caches()  # SPMD executables: suite memory budget
