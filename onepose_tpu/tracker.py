@@ -37,29 +37,34 @@ from onepose_tpu.utils.geometry import query_pose_error
 # recompile for every distinct match count, which dominates latency.
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.jit, static_argnames=("num_hypotheses",))
-def _flow_pnp_step(kf_img, q_img, kpts, mask, pts3d, K, key,
-                   num_hypotheses):
-    """LK-flow the keyframe's 3D-assigned keypoints into the query and PnP
-    on the flowed correspondences — one dispatch, one host sync."""
-    res = lk_flow.pyramid_lk(kf_img, q_img, kpts)
-    status = res.status & mask
-    pnp = epnp.ransac_pnp(key, res.points, pts3d, status, K,
-                          num_hypotheses=num_hypotheses)
-    return pnp.pose, pnp.num_inliers, jnp.sum(status), pnp.success
-
-
 @functools.partial(jax.jit, static_argnames=("num_hypotheses",
                                              "gate_scale"))
-def _assoc_pnp_step(kf_desc, kf_mask, kf_src_ok, kf_pts3d, q_desc, q_mask,
-                    q_kpts, pose_init, K, key, num_hypotheses, gate_scale):
-    """Descriptor association + reprojection gating + PnP, fused.
+def _track_step(kf_img, q_img, kf_kpts, kf_desc, kf_mask, kf_src_ok,
+                kf_pts3d, q_kpts, q_desc, q_mask, pose_motion, has_motion,
+                K, key, num_hypotheses, gate_scale):
+    """The whole per-frame compute — LK flow → flow-PnP → flow-vs-motion
+    fallback → descriptor association → reprojection gating → PnP — in
+    ONE dispatch with one host sync.
 
     kf_src_ok: [Kf] keyframe slots that carry a 3D id; kf_pts3d their 3D
-    points (garbage where ~kf_src_ok). Returns (pose, m0 [Kf]→query,
-    keep [Kq] gated assignment mask, n_keep, pnp_inliers, used_pnp).
-    Matches the host logic of track() (median*scale gate, floor 3 px,
-    stages skipped below 8 correspondences via jnp.where)."""
+    points (garbage where ~kf_src_ok). pose_motion/has_motion: the
+    constant-velocity fallback (identity + False when no history).
+    Returns (pose, m0 [Kf]→query, keep [Kq] gated assignment mask,
+    n_keep, pnp_inliers, used_pnp, flow_ok, flow_inliers, have_init).
+    Semantics match the previous two-kernel host flow (median*scale
+    gate, floor 3 px, stages skipped below 8 correspondences)."""
+    key_flow, key_pnp = jax.random.split(key)
+
+    # pose init: LK flow + PnP on the flowed 2D ↔ known 3D, falling back
+    # to the motion prediction on-device
+    res = lk_flow.pyramid_lk(kf_img, q_img, kf_kpts)
+    status = res.status & kf_src_ok
+    fpnp = epnp.ransac_pnp(key_flow, res.points, kf_pts3d, status, K,
+                           num_hypotheses=num_hypotheses)
+    flow_ok = fpnp.success & (jnp.sum(status) >= 8)
+    pose_init = jnp.where(flow_ok, fpnp.pose, pose_motion)
+    have_init = flow_ok | has_motion
+
     nq = q_desc.shape[0]
     nn = mutual_nearest_neighbour(kf_desc, q_desc, mask0=kf_mask,
                                   mask1=q_mask, distance_thresh=0.7)
@@ -80,12 +85,13 @@ def _assoc_pnp_step(kf_desc, kf_mask, kf_src_ok, kf_pts3d, q_desc, q_mask,
     gate = jnp.maximum(med * gate_scale, 3.0)
     keep = jnp.where(cnt >= 8, assigned_q & (err <= gate), assigned_q)
 
-    pnp = epnp.ransac_pnp(key, q_kpts, pts3d_q, keep, K,
+    pnp = epnp.ransac_pnp(key_pnp, q_kpts, pts3d_q, keep, K,
                           num_hypotheses=num_hypotheses)
     n_keep = jnp.sum(keep)
     used_pnp = pnp.success & (n_keep >= 8)
     pose = jnp.where(used_pnp, pnp.pose, pose_init)
-    return pose, m0, keep, n_keep, pnp.num_inliers, used_pnp
+    return (pose, m0, keep, n_keep, pnp.num_inliers, used_pnp,
+            flow_ok, fpnp.num_inliers, have_init)
 
 
 @functools.partial(jax.jit, static_argnames=("it1", "it2", "refine_points"))
@@ -218,24 +224,6 @@ class BATracker:
         t = dR @ p2[:3, 3] + dt
         return np.concatenate([R, t[:, None]], axis=1).astype(np.float32)
 
-    def _pose_from_flow(self, q_img_dev, K):
-        """LK-track the last keyframe's assigned keypoints into the query,
-        then PnP on the flowed 2D ↔ known 3D — one fused dispatch over the
-        full static keypoint set (masked), one host sync."""
-        kf = self.frames[-1]
-        has3d = (kf.point_ids >= 0) & kf.kpt_mask
-        if has3d.sum() < 8:
-            return None, None
-        pts3d = self.points3d[np.clip(kf.point_ids, 0, None)]
-        pose, inl, n_status, success = jax.tree.map(np.asarray, _flow_pnp_step(
-            kf.image_dev, q_img_dev,
-            kf.keypoints_dev, jnp.asarray(has3d),
-            jnp.asarray(pts3d), jnp.asarray(K, jnp.float32),
-            self._next_key(), self.pnp_hypotheses))
-        if int(n_status) < 8 or not bool(success):
-            return None, None
-        return np.asarray(pose), int(inl)
-
     # ------------------------------------------------------------------
     def track(self, query_image, keypoints, descriptors, kpt_mask, K):
         """Track a query frame. Returns (pose [3,4] or None, info dict)."""
@@ -243,45 +231,47 @@ class BATracker:
         if not self.frames:
             return None, info
 
-        # upload the query tensors ONCE; the fused steps and the stored
+        # upload the query tensors ONCE; the fused step and the stored
         # Frame share these device arrays
         q_img_dev = jnp.asarray(query_image, jnp.float32)
         q_kpts_dev = jnp.asarray(keypoints, jnp.float32)
         q_desc_dev = jnp.asarray(descriptors, jnp.float32)
         q_mask_dev = jnp.asarray(kpt_mask, bool)
 
-        pose_init, inl = self._pose_from_flow(q_img_dev, K)
-        if pose_init is not None:
+        # Flow + motion fallback + association + gating + PnP: one fused
+        # static-shape dispatch, one host sync (the reference runs these
+        # as separate host stages, ba_tracker.py:468-725).
+        kf = self.frames[-1]
+        kf_has3d = (kf.point_ids >= 0) & kf.kpt_mask
+        motion = self.motion_prediction()
+        has_motion = motion is not None
+        if motion is None:
+            motion = np.eye(3, 4, dtype=np.float32)
+        (pose, m0, keep, n_keep, pnp_inl, used_pnp, flow_ok, flow_inl,
+         have_init) = jax.tree.map(np.asarray, _track_step(
+            kf.image_dev, q_img_dev, kf.keypoints_dev, kf.descriptors_dev,
+            kf.kpt_mask_dev, jnp.asarray(kf_has3d),
+            jnp.asarray(self.points3d[np.clip(kf.point_ids, 0, None)]),
+            q_kpts_dev, q_desc_dev, q_mask_dev,
+            jnp.asarray(motion), bool(has_motion),
+            jnp.asarray(K, jnp.float32), self._next_key(),
+            self.pnp_hypotheses, self.reproj_gate_scale))
+        if bool(flow_ok):
             info["mode"] = "flow"
-            info["flow_inliers"] = inl
+            info["flow_inliers"] = int(flow_inl)
         else:
-            pose_init = self.motion_prediction()
             info["mode"] = "motion"
-        if pose_init is None:
+        if not bool(have_init):
             return None, info
 
-        # Associate query keypoints to 3D via the last keyframe descriptors,
-        # gate by reprojection (median * scale, ba_tracker.py:530-543), and
-        # PnP — one fused static-shape dispatch, one host sync.
-        kf = self.frames[-1]
-        kf_has3d = kf.point_ids >= 0
-        pose, m0, keep, n_keep, pnp_inl, used_pnp = jax.tree.map(
-            np.asarray, _assoc_pnp_step(
-                kf.descriptors_dev, kf.kpt_mask_dev,
-                jnp.asarray(kf_has3d),
-                jnp.asarray(self.points3d[np.clip(kf.point_ids, 0, None)]),
-                q_desc_dev, q_mask_dev, q_kpts_dev,
-                jnp.asarray(pose_init), jnp.asarray(K, jnp.float32),
-                self._next_key(), self.pnp_hypotheses,
-                self.reproj_gate_scale))
         matched = m0 >= 0
         point_ids = np.full(len(keypoints), -1, np.int64)
         src = np.where(matched & kf_has3d)[0]
         tgt = m0[src]
         surv = keep[tgt]
         point_ids[tgt[surv]] = kf.point_ids[src[surv]]
+        pose_init = pose.astype(np.float32)
         if bool(used_pnp):
-            pose_init = pose.astype(np.float32)
             info["pnp_inliers"] = int(pnp_inl)
 
         # Triangulate new points from unassigned KF↔query matches.

@@ -204,12 +204,10 @@ def test_track_static_shapes_no_retrace():
                                 frames[0]["pose"], K,
                                 mkpts3d=pts3d, kpt_indices=np.arange(n))
 
-    flow0 = trk._flow_pnp_step._cache_size()
-    assoc0 = trk._assoc_pnp_step._cache_size()
+    step0 = trk._track_step._cache_size()
     # vary the valid-keypoint count per frame: the masks change, the
     # shapes do not
     for i, n_valid in ((1, n), (2, n - 7), (3, n - 13)):
         kp, ds, mask = pad(frames[i], n_valid)
         tracker.track(frames[i]["image"], kp, ds, mask, K)
-    assert trk._flow_pnp_step._cache_size() - flow0 <= 1
-    assert trk._assoc_pnp_step._cache_size() - assoc0 <= 1
+    assert trk._track_step._cache_size() - step0 <= 1
