@@ -388,7 +388,11 @@ class GATsSPGDataset:
         kpts2d, desc2d, scores2d = pad_keypoints2d_random(
             kpts2d, desc2d, scores2d, 512, 512, self.shape2d, rng)
 
-        pairs = np.full((max_pairs, 2), -1, np.int32)  # -1 → dropped
+        # Pad value must be genuinely out of bounds for the trainer's
+        # mode="drop" scatter: -1 would wrap to the (shape2d-1, shape3d-1)
+        # corner of conf_gt whenever the item saturates both budgets.
+        pairs = np.full((max_pairs, 2),
+                        (self.shape2d, self.shape3d), np.int32)
         if assign.size:
             valid = (assign[0] < self.shape2d) & (assign[1] < self.shape3d)
             a = assign[:, valid].astype(np.int32).T[:max_pairs]

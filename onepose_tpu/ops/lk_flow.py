@@ -87,6 +87,12 @@ def _lk_level(im0, im1, pts0, guess, win: int, iters: int, eps: float,
     guess: current flow estimates (positions in im1)."""
     size = win + 3 + 2 * margin
     size = min(size, min(im0.shape))  # tiny images: shrink the patch
+    # Shrink the window with the patch: _sample_window dynamic_slices
+    # (win+1, win+1) out of the patch and clips the start to
+    # [r, size-r-2], so size < win+1 fails to compile and sizes just
+    # above it invert the clip bounds. win = size-1 keeps the slice
+    # exactly patch-sized and the clip range non-empty.
+    win = max(min(win, size - 1), 1)
     patches0, org0 = _crop_patches(im0, pts0, size)
     patches1, org1 = _crop_patches(im1, guess, size)
 
@@ -175,8 +181,16 @@ def pyramid_lk(im0: jnp.ndarray, im1: jnp.ndarray, pts: jnp.ndarray,
     pyr0 = [im0]
     pyr1 = [im1]
     for _ in range(levels - 1):
+        # Clamp pyramid depth against the window (cv2 does the same
+        # internally): a level smaller than the LK window can neither
+        # hold a full sampling patch nor pass the texture check, so it
+        # only poisons status for points the fine levels track fine.
+        h, w = pyr0[-1].shape
+        if min(h, w) // 2 < win + 3:
+            break
         pyr0.append(_downsample(pyr0[-1]))
         pyr1.append(_downsample(pyr1[-1]))
+    levels = len(pyr0)
 
     scale = 2.0 ** (levels - 1)
     guess = pts / scale

@@ -70,7 +70,10 @@ def _track_step(kf_img, q_img, kf_kpts, kf_desc, kf_mask, kf_src_ok,
                                   mask1=q_mask, distance_thresh=0.7)
     m0 = nn.matches0
     src_ok = (m0 >= 0) & kf_src_ok
-    tgt = jnp.where(src_ok, m0, -1)
+    # Sentinel must be genuinely out of bounds: JAX normalizes negative
+    # indices BEFORE the mode="drop" OOB check, so -1 would scatter into
+    # slot nq-1 (spurious assignment + garbage 3D point there). nq drops.
+    tgt = jnp.where(src_ok, m0, nq)
     assigned_q = jnp.zeros(nq, bool).at[tgt].set(True, mode="drop")
     pts3d_q = jnp.zeros((nq, 3), jnp.float32).at[tgt].set(
         kf_pts3d.astype(jnp.float32), mode="drop")

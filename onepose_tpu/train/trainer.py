@@ -124,7 +124,8 @@ def materialize_light_batch(db, light, shape2d: int, shape3d: int,
     db: device-resident stacks from GATsSPGDataset.device_db()
       clt_stack [O, T+1, D] (row T = dustbin ones), avg_stack [O, S3, D].
     light: obj_idx [B], leaf_idx [B, S3*L] (into the T+1 axis),
-      descriptors2d_query [B, S2, D], pairs [B, P, 2] (-1 = absent),
+      descriptors2d_query [B, S2, D], pairs [B, P, 2] (padded with
+      (shape2d, shape3d) = absent),
       num2d [B], num3d [B].
 
     The leaf gather ([B, S3*L, D] ≈ 16 MB/item) and the dense conf_gt
@@ -151,7 +152,9 @@ def materialize_light_batch(db, light, shape2d: int, shape3d: int,
 
     def scatter_one(pr):
         conf = jnp.zeros((shape2d, shape3d), jnp.int32)
-        # -1 indices are out-of-bounds → mode="drop" discards them
+        # Pad pairs are (shape2d, shape3d): genuinely out of bounds so
+        # mode="drop" discards them. (A -1 pad would wrap — JAX
+        # normalizes negative indices before the OOB check.)
         return conf.at[pr[:, 0], pr[:, 1]].set(1, mode="drop")
 
     conf = jax.vmap(scatter_one)(pairs)             # [B, S2, S3]

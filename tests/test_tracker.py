@@ -211,3 +211,39 @@ def test_track_static_shapes_no_retrace():
         kp, ds, mask = pad(frames[i], n_valid)
         tracker.track(frames[i]["image"], kp, ds, mask, K)
     assert trk._track_step._cache_size() - step0 <= 1
+
+
+def test_track_step_unmatched_sentinel_drops():
+    """Regression: invalid keyframe slots must scatter NOWHERE. A -1
+    sentinel wraps to query slot nq-1 under mode="drop" (JAX normalizes
+    negative indices before the OOB check), spuriously assigning that
+    slot a garbage 3D point on every tracked frame."""
+    import jax.numpy as jnp
+    from onepose_tpu import tracker as trk
+
+    rng = np.random.default_rng(7)
+    nk, nq = 24, 16
+    img = rng.uniform(0, 1, (64, 64)).astype(np.float32)
+    kf_kpts = rng.uniform(10, 54, (nk, 2)).astype(np.float32)
+    q_kpts = rng.uniform(10, 54, (nq, 2)).astype(np.float32)
+    # orthogonal one-hot descriptor blocks that share no dimensions:
+    # mutual NN finds zero matches, so every keyframe slot is unmatched
+    kf_desc = np.zeros((nk, 64), np.float32)
+    kf_desc[np.arange(nk), np.arange(nk)] = 1.0
+    q_desc = np.zeros((nq, 64), np.float32)
+    q_desc[np.arange(nq), 32 + np.arange(nq)] = 1.0
+    K = np.array([[100.0, 0, 32], [0, 100.0, 32], [0, 0, 1]], np.float32)
+    pose_id = np.eye(4, dtype=np.float32)[:3]
+
+    out = trk._track_step(
+        jnp.asarray(img), jnp.asarray(img), jnp.asarray(kf_kpts),
+        jnp.asarray(kf_desc), jnp.ones(nk, bool), jnp.ones(nk, bool),
+        jnp.asarray(rng.normal(size=(nk, 3)).astype(np.float32)),
+        jnp.asarray(q_kpts), jnp.asarray(q_desc), jnp.ones(nq, bool),
+        jnp.asarray(pose_id), jnp.asarray(True), jnp.asarray(K),
+        __import__("jax").random.PRNGKey(0),
+        num_hypotheses=32, gate_scale=1.2)
+    _, m0, keep, n_keep, *_ = out
+    assert int(jnp.sum(m0 >= 0)) == 0          # no mutual matches
+    assert int(n_keep) == 0                     # nothing assigned...
+    assert not bool(keep[nq - 1])               # ...especially not slot nq-1

@@ -103,3 +103,30 @@ def test_nn_matcher_masks():
     res = mutual_nearest_neighbour(
         jnp.asarray(d0), jnp.asarray(d1), mask1=jnp.asarray(mask1))
     assert np.asarray(res.matches0)[3] != 3
+
+
+def test_lk_tiny_image_compiles_and_tracks():
+    """Regression: when the coarsest pyramid level is smaller than the LK
+    window, the patch shrink must also shrink the sampling window —
+    previously the fixed (win+1, win+1) dynamic_slice exceeded the patch
+    and compilation failed (and for sizes just above win+1 the clip
+    bounds inverted)."""
+    rng = np.random.default_rng(0)
+    tex = make_texture(rng, h=64, w=64)
+    im0 = tex[8:56, 8:56]            # 48x48 → coarsest level is 12x12
+    im1 = tex[7:55, 6:54]            # true flow (dx, dy) = (+2, +1)
+    pts = np.array([[20.0, 24.0], [30.0, 18.0]], np.float32)
+    res = lk_flow.pyramid_lk(jnp.asarray(im0), jnp.asarray(im1),
+                             jnp.asarray(pts), win=15, levels=3)
+    ok = np.asarray(res.status)
+    moved = np.asarray(res.points) - pts
+    assert ok.any()
+    np.testing.assert_allclose(moved[ok],
+                               np.tile([2.0, 1.0], (ok.sum(), 1)),
+                               atol=0.75)
+
+
+def test_inv_psd_rejects_non_multiple_of_3():
+    from onepose_tpu.ops import epnp as epnp_mod
+    with np.testing.assert_raises(ValueError):
+        epnp_mod._inv_psd(jnp.eye(4))

@@ -303,3 +303,60 @@ def test_gather_step_with_device_leaf_sampling(tmp_path):
     for _ in range(4):
         state, l1 = step(state, lb)
     assert float(l1) < float(l0)
+
+
+def test_light_batch_saturated_budgets_no_corner_corruption():
+    """Regression: when an item saturates BOTH budgets (num2d==shape2d and
+    num3d==shape3d), the pad scatter must not corrupt conf_gt — a -1 pad
+    pair wraps to the (shape2d-1, shape3d-1) corner (JAX normalizes
+    negative indices before the mode="drop" OOB check), planting a
+    spurious GT positive exactly where the pad_region mask no longer
+    hides it."""
+    s2, s3, n_pairs = 8, 10, 3
+    pairs = np.full((16, 2), (s2, s3), np.int32)
+    pairs[:n_pairs] = [[0, 1], [2, 3], [4, 5]]
+    light = {
+        "pairs": jnp.asarray(pairs[None]),
+        "descriptors2d_query": jnp.zeros((1, s2, 4), jnp.float32),
+        "obj_idx": jnp.zeros((1,), jnp.int32),
+        "leaf_idx": jnp.zeros((1, s3 * 2), jnp.int32),
+        "num2d": jnp.full((1,), s2, jnp.int32),   # saturated
+        "num3d": jnp.full((1,), s3, jnp.int32),   # saturated
+    }
+    db = {"clt_stack": jnp.ones((1, 5, 4), jnp.float32),
+          "avg_stack": jnp.zeros((1, s3, 4), jnp.float32)}
+    dev = trainer.materialize_light_batch(db, light, shape2d=s2,
+                                          shape3d=s3, pad_val=0,
+                                          num_leaf=2)
+    conf = np.asarray(dev["conf_gt"])[0]
+    assert conf.sum() == n_pairs
+    assert conf[s2 - 1, s3 - 1] == 0  # the corner the -1 pad would hit
+
+
+def test_dataset_light_pairs_pad_out_of_bounds(tmp_path):
+    """GATsSPGDataset.get_light must pad pairs with (shape2d, shape3d),
+    never -1 (see test above for why)."""
+    import sys
+    import os.path as osp
+
+    sys.path.insert(0, osp.dirname(osp.abspath(__file__)))
+    from test_cli_integration import build_dataset
+
+    from onepose_tpu.datasets.gats_dataset import GATsSPGDataset
+    from onepose_tpu.datasets.merge import merge_anno
+
+    rng = np.random.default_rng(4)
+    build_dataset(tmp_path, rng)
+    root = str(tmp_path)
+    train_json = f"{root}/data/cache/t/train.json"
+    merge_anno(f"{root}/data/sfm_model", ["0001-obj-box"], train_json)
+
+    ds = GATsSPGDataset(train_json, num_leaf=4, split="train",
+                        shape2d=24, shape3d=40, seed=5)
+    db_np, obj_index = ds.device_db()
+    item = ds.get_light(0, obj_index, db_np["t_max"],
+                        np.random.default_rng(0))
+    pairs = item["pairs"]
+    pad = pairs[(pairs[:, 0] >= 24) | (pairs[:, 1] >= 40)]
+    assert pad.size > 0 and np.all(pad == [24, 40])
+    assert np.all(pairs >= 0)
