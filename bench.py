@@ -9,7 +9,16 @@ Baseline denominator: the reference torch-CPU frame→pose path (SuperPoint →
 GATsSPG → cv2.solvePnPRansac) measured at the same shapes on this image's
 8-thread CPU: 0.625 frames/sec (see BASELINE.md "Measured baseline").
 
-Prints one JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints one JSON line:
+  {"metric", "value", "unit", "vs_baseline",      # headline (median fps)
+   "iqr": [q25, q75],                             # over counted blocks
+   "blocks": N,                                   # counted blocks
+   "stages": {"extract_ms", "match_ms", "pnp_ms", "total_ms"},  # per batch
+   "mfu": f, "tflops_per_sec": f}                 # XLA-counted FLOPs / peak
+
+The IQR makes run-to-run variance visible (the tunnel shows ±8% across
+runs of the same binary — BASELINE.md), and the per-stage ms make any
+round-over-round delta attributable to a specific stage.
 """
 import json
 import time
@@ -25,9 +34,37 @@ SHAPE3D = 2000
 NUM_LEAF = 8
 NUM_HYPOTHESES = 512
 
+# bf16 peak matmul throughput per chip, FLOP/s (public spec sheets).
+PEAK_FLOPS = {
+    "TPU v4": 275e12,
+    "TPU v5 lite": 197e12,
+    "TPU v5e": 197e12,
+    "TPU v5": 459e12,      # v5p
+    "TPU v6 lite": 918e12,  # v6e / Trillium
+}
+
+
+def chain_time_ms(f, n=20, blocks=3):
+    """Best ms/call over warm chained blocks (f: scalar eps → scalar).
+    One host fetch per block; first block is a throwaway (hidden
+    first-execution warmup on the tunneled backend — BASELINE.md)."""
+    import jax.numpy as jnp
+
+    def block():
+        t0 = time.perf_counter()
+        o = jnp.float32(0.0)
+        for _ in range(n):
+            o = f(o * 0)
+        np.asarray(o)
+        return (time.perf_counter() - t0) / n * 1000
+
+    block()
+    return min(block() for _ in range(blocks))
+
 
 def main():
     import jax
+    import jax.numpy as jnp
 
     from onepose_tpu import pipeline
     from onepose_tpu.datasets import anno
@@ -72,12 +109,10 @@ def main():
     # than tunnel latency. The first chained block is a throwaway: it
     # absorbs a hidden first-execution/autotuning cost that can reach
     # seconds on this backend.
-    import jax.numpy as jnp
-
     out = pipe(images, Ks, keys)
     np.asarray(out.poses)
 
-    n_iters, n_blocks = 20, 4
+    n_iters, n_blocks = 20, 9  # 1 throwaway + 8 counted
     fps_samples = []
     for blk in range(n_blocks):
         t0 = time.perf_counter()
@@ -90,11 +125,88 @@ def main():
         if blk > 0:
             fps_samples.append(BATCH * n_iters / dt)
     fps = float(np.median(fps_samples))
+    q25, q75 = np.percentile(fps_samples, [25, 75])
+    total_ms = BATCH / fps * 1000 * BATCH / BATCH  # ms per batch of BATCH
+
+    # --- per-stage attribution (same chained protocol, best-of-3) ---
+    sp_cfg_items = pipe.sp_config_items
+    gats_cfg_items = pipe.gats_config_items
+    det = superpoint.extract(sp_params, images, dict(sp_cfg_items))
+    det = jax.tree.map(jnp.asarray, det)
+
+    f_extract = jax.jit(lambda e: jnp.sum(superpoint.extract(
+        sp_params, images + e, dict(sp_cfg_items)).keypoints))
+    n2 = db.descriptors3d.shape[0]
+    data = {
+        "descriptors2d_query": det.descriptors,
+        "descriptors3d_db": jnp.broadcast_to(
+            jnp.asarray(db.descriptors3d)[None], (BATCH, n2, 256)),
+        "descriptors2d_db": jnp.broadcast_to(
+            jnp.asarray(db.descriptors2d_db)[None],
+            (BATCH,) + db.descriptors2d_db.shape),
+        "mask2d": det.mask,
+        "mask3d": jnp.broadcast_to(jnp.asarray(db.mask3d)[None], (BATCH, n2)),
+    }
+
+    def match_f(e):
+        d = dict(data)
+        d["descriptors2d_query"] = d["descriptors2d_query"] + e
+        m = gats_spg.forward(gats_params, d, dict(gats_cfg_items))
+        return jnp.sum(m.matching_scores0)
+
+    f_match = jax.jit(match_f)
+    match = gats_spg.forward(gats_params, data, dict(gats_cfg_items))
+    m0 = jnp.asarray(match.matches0)
+
+    def pnp_f(e):
+        res = pipeline.poses_from_matches(
+            det.keypoints + e, det.mask, m0,
+            jnp.asarray(db.keypoints3d), Ks, keys,
+            num_hypotheses=NUM_HYPOTHESES)
+        return jnp.sum(res.pose)
+
+    f_pnp = jax.jit(pnp_f)
+
+    stages = {
+        "extract_ms": round(chain_time_ms(f_extract), 2),
+        "match_ms": round(chain_time_ms(f_match), 2),
+        "pnp_ms": round(chain_time_ms(f_pnp), 2),
+        "total_ms": round(BATCH * n_iters / np.median(fps_samples)
+                          / n_iters * 1000, 2),
+    }
+
+    # --- FLOP-based MFU (XLA cost analysis of the full fused program) ---
+    mfu = tflops = None
+    try:
+        lowered = pipeline._frame_to_pose_jit.lower(
+            pipe.sp_params, pipe.gats_params, pipe.db, images, Ks,
+            jnp.asarray(keys), sp_cfg_items, gats_cfg_items,
+            pipe.reproj_threshold, pipe.num_hypotheses, pipe.refine_iters,
+            pipe.use_pallas_match)
+        cost = lowered.compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        flops_per_batch = float(cost.get("flops", 0.0))
+        if flops_per_batch > 0:
+            tflops = flops_per_batch * fps / BATCH / 1e12
+            kind = jax.devices()[0].device_kind
+            peak = next((v for k, v in PEAK_FLOPS.items() if k in kind),
+                        None)
+            if peak is not None:
+                mfu = tflops * 1e12 / peak
+    except Exception:
+        pass
+
     print(json.dumps({
         "metric": "frames_per_sec_per_chip_frame_to_pose",
         "value": round(fps, 2),
         "unit": "frames/s",
         "vs_baseline": round(fps / REF_CPU_FPS, 2),
+        "iqr": [round(float(q25), 2), round(float(q75), 2)],
+        "blocks": len(fps_samples),
+        "stages": stages,
+        "mfu": round(mfu, 4) if mfu is not None else None,
+        "tflops_per_sec": round(tflops, 2) if tflops is not None else None,
     }))
 
 
