@@ -148,6 +148,41 @@ def load_config(overrides: Optional[Sequence[str]] = None,
     return wrapped
 
 
+def _split_sweep(value: str) -> List[str]:
+    """Split a sweep value on top-level commas (commas inside [] / {} / ()
+    belong to a single YAML value, e.g. ``milestones=[5,10]``)."""
+    parts, buf, depth = [], [], 0
+    for ch in value:
+        if ch in "[{(":
+            depth += 1
+        elif ch in ")}]":
+            depth -= 1
+        if ch == "," and depth == 0:
+            parts.append("".join(buf))
+            buf = []
+        else:
+            buf.append(ch)
+    parts.append("".join(buf))
+    return parts
+
+
+def expand_multirun(overrides: Sequence[str]) -> List[List[str]]:
+    """Hydra basic-sweeper surface (the reference's ``-m`` path feeding the
+    optuna return value of /root/reference/train.py:74-76): every
+    ``key=a,b,c`` override (non-``+``) with top-level commas becomes a sweep
+    axis; returns the cartesian product as a list of override lists."""
+    import itertools
+
+    axes: List[List[str]] = []
+    for ov in overrides:
+        if "=" not in ov:
+            raise ValueError(f"override must be key=value: {ov}")
+        key, value = ov.split("=", 1)
+        values = _split_sweep(value) if not key.startswith("+") else [value]
+        axes.append([f"{key}={v}" for v in values])
+    return [list(combo) for combo in itertools.product(*axes)]
+
+
 def print_config(cfg: Dict, indent: int = 0):
     """Config tree printer (the reference uses rich,
     template_utils.py:26-73; plain-text here)."""

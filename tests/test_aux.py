@@ -145,3 +145,87 @@ def test_wandb_adapter_with_fake_module(tmp_path, monkeypatch):
     ad.log(0, {"x": 1.0})
     ad.log_checkpoint(str(ck))
     ad.finish()
+
+
+def test_classification_heatmaps(tmp_path):
+    """F1/precision/recall + confusion-matrix callback equivalent
+    (reference wandb_callbacks.py:85-186): accumulation, sklearn-parity
+    per-class scores, PNG emission, reset."""
+    from onepose_tpu.train.callbacks import ClassificationHeatmaps
+
+    hm = ClassificationHeatmaps(["a", "b", "c"])
+    hm.update([0, 1, 1, 2, 2, 2], [0, 1, 0, 2, 2, 1])
+    hm.update([0], [1])
+
+    cm = hm.confusion_matrix()
+    # rows=target, cols=pred
+    assert cm.sum() == 7
+    assert cm[0, 0] == 1 and cm[1, 1] == 1 and cm[2, 2] == 2
+    assert cm[0, 1] == 1 and cm[1, 2] == 1 and cm[1, 0] == 1
+
+    s = hm.scores()
+    # class a: tp=1, pred_tot=2, targ_tot=2 -> p=r=f1=0.5
+    np.testing.assert_allclose(s["precision"][0], 0.5)
+    np.testing.assert_allclose(s["recall"][0], 0.5)
+    np.testing.assert_allclose(s["f1"][0], 0.5)
+    # class c: tp=2, pred_tot=3, targ_tot=2
+    np.testing.assert_allclose(s["precision"][2], 2 / 3)
+    np.testing.assert_allclose(s["recall"][2], 1.0)
+
+    try:
+        import sklearn.metrics as skm
+
+        p = np.concatenate(hm.preds)
+        t = np.concatenate(hm.targets)
+        np.testing.assert_allclose(
+            s["f1"], skm.f1_score(t, p, average=None, labels=[0, 1, 2]))
+        np.testing.assert_allclose(
+            s["precision"],
+            skm.precision_score(t, p, average=None, labels=[0, 1, 2]))
+        np.testing.assert_allclose(
+            s["recall"],
+            skm.recall_score(t, p, average=None, labels=[0, 1, 2]))
+    except ImportError:
+        pass
+
+    flat = hm.emit(epoch=3, plot_dir=str(tmp_path))
+    assert flat["val_recall/c"] == 1.0
+    import os.path as osp
+    assert osp.exists(osp.join(str(tmp_path), "heatmaps_epoch3.png"))
+    assert hm.preds == [] and hm.targets == []  # reset
+
+
+def test_match_classification_labels():
+    from onepose_tpu.train.callbacks import match_classification_labels
+
+    kpts2d = np.array([[10.0, 10], [50, 50], [90, 90], [120, 120]])
+    gt_proj = np.array([[11.0, 10], [80, 80], [90, 91]])
+    valid3d = np.array([True, True, False])
+    # kpt0 matched to pt0 (1px -> correct); kpt1 matched to pt1 (wrong,
+    # 42px); kpt2 unmatched but pt2 is invalid -> target 0; kpt3 masked out
+    matches0 = np.array([0, 1, -1, 0])
+    kpt_mask = np.array([True, True, True, False])
+    pred, targ = match_classification_labels(
+        matches0, kpt_mask, kpts2d, gt_proj, valid3d)
+    np.testing.assert_array_equal(pred, [1, 2, 0])
+    np.testing.assert_array_equal(targ, [1, 0, 0])
+
+
+def test_model_watcher():
+    from onepose_tpu.train.callbacks import ModelWatcher, param_norms
+
+    params = {"enc": {"w": np.ones((2, 2))}, "dec": {"w": np.full(4, 2.0)}}
+    norms = param_norms(params)
+    np.testing.assert_allclose(norms["params_norm/enc"], 2.0)
+    np.testing.assert_allclose(norms["params_norm/dec"], 4.0)
+
+    logged = []
+
+    class FakeLogger:
+        def log(self, step, metrics):
+            logged.append((step, metrics))
+
+    w = ModelWatcher(FakeLogger(), log_freq=2)
+    w.step(1, params)
+    w.step(2, params)
+    assert len(logged) == 1 and logged[0][0] == 2

@@ -169,7 +169,7 @@ def test_train_cli_integration(tmp_path):
         "checkpoint": Config({"dirpath": osp.join(root, "ckpts")}),
         "logging": Config({"log_dir": osp.join(root, "logs")}),
     })
-    state = train_cli.train(cfg)
+    state, _ = train_cli.train(cfg)
     assert np.isfinite(float(state.step))
     assert osp.exists(osp.join(root, "ckpts", "epoch=0"))
     assert osp.exists(osp.join(root, "ckpts", "last"))
@@ -226,9 +226,9 @@ def test_train_resume(tmp_path):
             "logging": Config({"log_dir": osp.join(root, "logs")}),
         })
 
-    state1 = train_cli.train(make_cfg(1))
+    state1, _ = train_cli.train(make_cfg(1))
     step_after_1 = int(np.asarray(state1.step))
-    state2 = train_cli.train(make_cfg(2))  # resumes at epoch 1
+    state2, _ = train_cli.train(make_cfg(2))  # resumes at epoch 1
     assert int(np.asarray(state2.step)) > step_after_1
     assert osp.exists(osp.join(root, "ckpts", "epoch=1"))
 
@@ -313,3 +313,69 @@ def test_inference_cli_data_parallel(tmp_path):
     assert osp.exists(
         osp.join(root, "runs/eval_dp", "0001-obj-boxobj-1.txt"))
     jax.clear_caches()  # SPMD executables: suite memory budget
+
+
+def test_train_returns_callback_metrics(tmp_path):
+    """train() must return the callback-metrics dict (the reference's
+    optuna surface returns trainer.callback_metrics[optimized_metric],
+    /root/reference/train.py:74-76)."""
+    rng = np.random.default_rng(2)
+    build_dataset(tmp_path, rng)
+    import train as train_cli
+    from onepose_tpu.datasets.merge import merge_anno
+
+    root = str(tmp_path)
+    out_json = osp.join(root, "data/cache/onepose/train.json")
+    merge_anno(osp.join(root, "data/sfm_model"), ["0001-obj-box"],
+               out_json)
+    cfg = Config({
+        "seed": 0,
+        "parallel": Config({"n_devices": 1}),
+        "model": Config({
+            "descriptor_dim": 256, "scale_factor": 0.07,
+            "match_threshold": 0.2, "include_self": True,
+            "additional": False, "with_linear_transform": False,
+            "lr": 1e-4, "weight_decay": 0.0, "milestones": [5],
+            "gamma": 0.5,
+            "spp_model_path": osp.join(root, "missing.pth"),
+        }),
+        "trainer": Config({
+            "max_epochs": 1, "gradient_clip_val": 0.5,
+            "accumulate_grad_batches": 1, "log_every_n_steps": 1,
+        }),
+        "datamodule": Config({
+            "train_anno_file": out_json,
+            "val_anno_file": osp.join(root, "missing.json"),
+            "batch_size": 2, "num_leaf": 4, "shape2d": 32,
+            "shape3d": 48, "assign_pad_val": 0,
+        }),
+        "checkpoint": Config({"dirpath": osp.join(root, "ckpts")}),
+        "logging": Config({"log_dir": osp.join(root, "logs")}),
+    })
+    _, metrics = train_cli.train(cfg)
+    assert "train_loss" in metrics and np.isfinite(metrics["train_loss"])
+
+
+def test_multirun_sweep(monkeypatch, capsys):
+    """-m sweeps the cartesian product and reports the best run."""
+    import sys
+
+    import train as train_cli
+
+    calls = []
+
+    def fake_run_one(overrides):
+        calls.append(list(overrides))
+        lr = float([o for o in overrides if o.startswith("model.lr=")]
+                   [0].split("=")[1])
+        return {1e-3: 0.9, 1e-4: 0.7}[lr]
+
+    monkeypatch.setattr(train_cli, "run_one", fake_run_one)
+    monkeypatch.setattr(sys, "argv",
+                        ["train.py", "-m", "model.lr=1e-3,1e-4",
+                         "seed=0"])
+    best = train_cli.main()
+    assert len(calls) == 2
+    assert calls[0] == ["model.lr=1e-3", "seed=0"]
+    assert best == 0.9
+    assert "best: model.lr=1e-3" in capsys.readouterr().out

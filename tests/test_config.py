@@ -59,3 +59,20 @@ def test_repo_configs_compose():
                ["+preprocess=merge_anno", "split=val"]):
         cfg = load_config(ov, config_dir="configs")
         assert "type" in cfg
+
+
+def test_expand_multirun():
+    """Hydra basic-sweeper surface: comma-valued overrides sweep; commas
+    inside brackets are one YAML value; + overlays never sweep."""
+    from onepose_tpu.config import expand_multirun
+
+    combos = expand_multirun(["a=1,2", "b.c=x"])
+    assert combos == [["a=1", "b.c=x"], ["a=2", "b.c=x"]]
+
+    combos = expand_multirun(["lr=1e-3,1e-4", "milestones=[5,10]"])
+    assert combos == [["lr=1e-3", "milestones=[5,10]"],
+                      ["lr=1e-4", "milestones=[5,10]"]]
+
+    combos = expand_multirun(["+experiment=a", "x=1,2", "y=u,v"])
+    assert len(combos) == 4
+    assert all(c[0] == "+experiment=a" for c in combos)

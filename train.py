@@ -20,6 +20,13 @@ import numpy as np
 
 
 def train(cfg):
+    """Run training; returns (final_state, callback_metrics).
+
+    callback_metrics holds the last logged value of every metric
+    (train_loss + validation pose metrics) — the role of Lightning's
+    ``trainer.callback_metrics`` that the reference's optuna return reads
+    (/root/reference/train.py:74-76).
+    """
     from onepose_tpu.parallel import launch as plaunch
 
     # Multi-host: one process per host, coordinator via config/env; no-op
@@ -103,6 +110,15 @@ def train(cfg):
         [m * steps_per_epoch for m in cfg.model.milestones],
         cfg.model.gamma)
 
+    # model-watch callback (reference WatchModelWithWandb role,
+    # wandb_callbacks.py:67-82; off by default like the reference config)
+    watcher = None
+    if is_main and cfg.logging.get("watch_model"):
+        from onepose_tpu.train.callbacks import ModelWatcher
+
+        watcher = ModelWatcher(
+            logger, log_freq=int(cfg.logging.get("watch_log_freq", 100)))
+
     rank = comm.get_rank()
     global_bs = cfg.datamodule.batch_size
     if global_bs % world != 0:
@@ -153,6 +169,7 @@ def train(cfg):
                 mesh, {k: batch_np[k][lo:hi] for k in host_keys})
 
     global_step = int(np.asarray(state.step))
+    callback_metrics = {}
     for epoch in range(start_epoch, cfg.trainer.max_epochs):
         t0 = time.time()
         losses = []
@@ -172,6 +189,8 @@ def train(cfg):
             else:
                 state, loss = step_fn(state, batch)
             global_step += 1
+            if watcher is not None:
+                watcher.step(global_step, state.params)
             if global_step % cfg.trainer.log_every_n_steps == 0:
                 loss_val = float(loss)
                 losses.append(loss_val)
@@ -181,6 +200,7 @@ def train(cfg):
                         "lr": float(lr_sched(global_step)),
                     })
         epoch_loss = float(np.mean(losses)) if losses else float("nan")
+        callback_metrics["train_loss"] = epoch_loss
         if is_main:
             print(f"[train] epoch {epoch}: loss={epoch_loss:.4f} "
                   f"({time.time() - t0:.1f}s, {global_step} steps)")
@@ -194,12 +214,14 @@ def train(cfg):
                 osp.join(cfg.checkpoint.dirpath, "last"))
 
             val_metrics = validate(cfg, state.params, gats_cfg, epoch=epoch)
-            if val_metrics and logger is not None:
-                logger.log(global_step, {"epoch": epoch, **val_metrics})
+            if val_metrics:
+                callback_metrics.update(val_metrics)
+                if logger is not None:
+                    logger.log(global_step, {"epoch": epoch, **val_metrics})
         comm.synchronize()
     if logger is not None:
         logger.close()
-    return state
+    return state, callback_metrics
 
 
 def validate(cfg, params, gats_cfg, epoch=0, n_plots=10, val_batch=8):
@@ -243,6 +265,11 @@ def validate(cfg, params, gats_cfg, epoch=0, n_plots=10, val_batch=8):
     for i, ann in enumerate(val_ds.items):
         groups.setdefault(ann["avg_anno3d_file"], []).append(i)
 
+    from onepose_tpu.train.callbacks import (
+        MATCH_CLASS_NAMES, ClassificationHeatmaps,
+        match_classification_labels)
+
+    heatmaps = ClassificationHeatmaps(MATCH_CLASS_NAMES)
     R_errs = np.full(len(val_ds), np.inf)
     t_errs = np.full(len(val_ds), np.inf)
     key = jax.random.PRNGKey(0)
@@ -281,6 +308,16 @@ def validate(cfg, params, gats_cfg, epoch=0, n_plots=10, val_batch=8):
                 if succ[j]:
                     R_errs[gi], t_errs[gi] = geo.query_pose_error(
                         poses[j], items[j]["query_pose_gt"])
+                # f1/confusion heatmap labels vs GT-pose reprojection
+                gt_proj = geo.project_points(
+                    kpts3d, items[j]["query_intrinsic"],
+                    items[j]["query_pose_gt"])
+                p_lbl, t_lbl = match_classification_labels(
+                    np.asarray(out.matches0)[j],
+                    np.asarray(out.kpt_mask)[j],
+                    np.asarray(out.keypoints2d)[j], gt_proj,
+                    np.arange(len(kpts3d)) < num3d)
+                heatmaps.update(p_lbl, t_lbl)
                 if gi % plot_interval == 0:
                     # matched 2D kpts vs GT-reprojected matched 3D points
                     m0 = np.asarray(out.matches0)[j]
@@ -298,16 +335,69 @@ def validate(cfg, params, gats_cfg, epoch=0, n_plots=10, val_batch=8):
                                 plot_dir, f"epoch{epoch}_item{gi}.png"))
     metrics = geo.aggregate_metrics(
         {"R_errs": list(R_errs), "t_errs": list(t_errs)})
+    metrics.update(heatmaps.emit(epoch=epoch, plot_dir=plot_dir))
     print(f"[val] {metrics} ({time.time() - t0:.1f}s, "
           f"{len(val_ds)} items, {len(groups)} objects)")
     return metrics
 
 
-def main():
+def run_one(overrides):
+    """One train run; returns the optimized metric (or None).
+
+    Mirrors the reference's optuna return: ``optimized_metric`` in the
+    config names a callback metric whose final value is returned
+    (/root/reference/train.py:74-76).
+    """
     from onepose_tpu.config import load_config
 
-    cfg = load_config(sys.argv[1:])
-    {"train": train}[cfg.type](cfg)
+    cfg = load_config(overrides)
+    _, metrics = {"train": train}[cfg.type](cfg)
+    name = cfg.get("optimized_metric")
+    if name:
+        if name not in metrics:
+            raise KeyError(
+                f"optimized_metric {name!r} not in callback metrics "
+                f"{sorted(metrics)}")
+        return metrics[name]
+    return None
+
+
+def main():
+    """CLI. ``-m`` / ``--multirun`` sweeps comma-valued overrides
+    (hydra basic-sweeper surface): each ``key=a,b,c`` becomes a sweep
+    axis; runs the cartesian product and reports per-run + best
+    ``optimized_metric``."""
+    args = sys.argv[1:]
+    multirun = False
+    if args and args[0] in ("-m", "--multirun"):
+        multirun = True
+        args = args[1:]
+
+    if not multirun:
+        metric = run_one(args)
+        if metric is not None:
+            print(f"[train] optimized_metric: {metric}")
+        return metric
+
+    from onepose_tpu.config import expand_multirun
+
+    combos = expand_multirun(args)
+    results = []
+    for i, combo in enumerate(combos):
+        print(f"[multirun] job {i}/{len(combos)}: {' '.join(combo)}")
+        results.append((combo, run_one(combo)))
+    scored = [(c, m) for c, m in results if m is not None]
+    for combo, metric in scored:
+        print(f"[multirun] {' '.join(combo)} -> {metric}")
+    if scored:
+        # direction: optimize_direction=minimize override (losses), else max
+        minimize = any(a.split("=", 1) == ["optimize_direction", "minimize"]
+                       for a in args)
+        pick = min if minimize else max
+        best = pick(scored, key=lambda cm: cm[1])
+        print(f"[multirun] best: {' '.join(best[0])} -> {best[1]}")
+        return best[1]
+    return None
 
 
 if __name__ == "__main__":
