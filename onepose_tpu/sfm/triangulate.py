@@ -28,7 +28,8 @@ from onepose_tpu.utils.geometry import rotmat2qvec
 MAX_REPROJ_ERROR = 4.0     # px (COLMAP Mapper.filter_max_reproj_error)
 MIN_TRI_ANGLE_DEG = 1.5    # COLMAP Mapper.filter_min_tri_angle
 EPIPOLAR_THRESHOLD = 4.0   # px Sampson gate for verification
-MAX_TRACK_LEN = 32
+MAX_TRACK_LEN = 32         # minimum observation-budget bucket (doubles up)
+MAX_TRACK_OBS_CAP = 1024   # absolute per-track observation budget
 
 
 # ---------------------------------------------------------------------------
@@ -315,7 +316,16 @@ def _triangulate_tracks_once(tracks, feats_uv, Ks, poses,
         return np.zeros((0, 3)), [], np.zeros(0), []
 
     T = len(tracks)
+    # Observation budget: bucket the longest track up to a power of two so
+    # the jitted DLT batch compiles once per bucket, not per length. A
+    # fixed small cap silently truncated long tracks at reference scale
+    # (a 180-image annotate sweep produces tracks of length 150+), which
+    # distorted the track-length histogram filter_tkl depends on and
+    # dropped observations from feature aggregation.
+    longest = max(len(t) for t in tracks)
     M = MAX_TRACK_LEN
+    while M < longest and M < MAX_TRACK_OBS_CAP:
+        M *= 2
     uvs = np.zeros((T, M, 2), np.float32)
     Ps = np.zeros((T, M, 3, 4), np.float32)
     Ps[:, :, 2, 3] = 1.0  # harmless dummy for padded slots
@@ -403,14 +413,21 @@ def _triangulate_tracks_once(tracks, feats_uv, Ks, poses,
     keeper[order] = first
     good2 &= keeper.reshape(T, M)
 
-    # triangulation angle: max pairwise angle between viewing rays
+    # triangulation angle: max pairwise angle between viewing rays.
+    # Chunked over tracks — the full [T, M, M] pairwise matrix is ~1 GB at
+    # reference scale (T=4000, M=256); 512-track chunks keep it exact at
+    # ~130 MB peak.
     rays = xyz2[:, None, :] - centers          # [T, M, 3]
     rays /= np.linalg.norm(rays, axis=-1, keepdims=True) + 1e-12
-    cosang = np.einsum("tmi,tni->tmn", rays, rays)
-    pair_ok = good2[:, :, None] & good2[:, None, :]
-    cosang = np.where(pair_ok, cosang, 1.0)
-    max_angle = np.rad2deg(np.arccos(np.clip(cosang.min(axis=(1, 2)),
-                                             -1.0, 1.0)))
+    max_angle = np.empty(T)
+    chunk = max(1, (1 << 25) // max(M * M, 1))  # ~128 MB fp32 per chunk
+    for s in range(0, T, chunk):
+        e = min(s + chunk, T)
+        cosang = np.einsum("tmi,tni->tmn", rays[s:e], rays[s:e])
+        pair_ok = good2[s:e, :, None] & good2[s:e, None, :]
+        cosang = np.where(pair_ok, cosang, 1.0)
+        max_angle[s:e] = np.rad2deg(np.arccos(np.clip(
+            cosang.min(axis=(1, 2)), -1.0, 1.0)))
 
     keep = enough & (good2.sum(axis=1) >= 2) & \
         (max_angle >= min_tri_angle_deg)
