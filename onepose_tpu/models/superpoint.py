@@ -34,10 +34,18 @@ DEFAULT_CONFIG = {
     "compute_dtype": "float32",
     # fuse conv1a+ReLU+conv1b+ReLU+pool into one Pallas kernel (the
     # full-resolution block XLA otherwise materializes in HBM per conv).
-    # EXPERIMENTAL: exact in interpret mode / CPU tests; this environment's
-    # remote Mosaic compile helper currently crashes (HTTP 500) lowering it
-    # on the real chip — see docs/DESIGN.md §6.
+    # False = XLA stem; True = force the width-tiled kernel; "auto" =
+    # enable ONLY if `fused_stem_supported()` passes — an on-chip compile
+    # + numeric diff vs the XLA stem, guarding against this toolchain's
+    # Mosaic crash modes AND its silent implicit-bf16 rewrite
+    # (docs/DESIGN.md §6 — a compiling kernel is not necessarily right).
     "fused_stem": False,
+    # "bfloat16" runs ONLY the stem convs (conv1a/conv1b) in bf16 with
+    # fp32 accumulation: measured 6.56 vs 8.11 ms/batch-8 on v5e (-19%;
+    # fp32 conv already multiplies in bf16 internally, so the win is
+    # pass-count, not 2x). Parity-shifting (keypoint sets move at
+    # threshold boundaries) → opt-in, fp32 default. DESIGN.md §6c.
+    "stem_dtype": "float32",
     # "polyphase" computes the same stem in space-to-depth (block) form:
     # both convs run on a 256x256 grid with 256-wide channel dims (full MXU
     # lanes vs 64) and the 2x2 maxpool collapses into a max over the 4
@@ -189,10 +197,62 @@ def _polyphase_stem(params: Params, x: jnp.ndarray) -> jnp.ndarray:
     return jnp.max(y, axis=3)
 
 
+_FUSED_STEM_OK = None
+
+
+def fused_stem_supported(force_recheck: bool = False) -> bool:
+    """Automated safety gate for the fused Pallas stem (VERDICT r2 #3 /
+    DESIGN.md §6): compile the width-tiled kernel on the CURRENT default
+    backend and numerically diff it against the fp32 XLA stem on random
+    data. Any compile failure (the Mosaic crash modes) or numeric
+    deviation (the silent implicit-bf16 rewrite measured at ~5e-3) fails
+    the gate and callers fall back to the XLA stem. Cached per process.
+    """
+    global _FUSED_STEM_OK
+    if _FUSED_STEM_OK is not None and not force_recheck:
+        return _FUSED_STEM_OK
+
+    from onepose_tpu.ops.pallas_stem import fused_stem_tiled
+
+    try:
+        rng = np.random.default_rng(0)
+        params = init_params(jax.random.PRNGKey(0))
+        imgs = jnp.asarray(
+            rng.uniform(0, 1, (2, 64, 256, 1)).astype(np.float32))
+        x = jax.nn.relu(_conv2d(imgs, params["conv1a"]))
+        x = jax.nn.relu(_conv2d(x, params["conv1b"]))
+        ref = np.asarray(_maxpool2(x))
+        got = np.asarray(fused_stem_tiled(
+            imgs, params["conv1a"]["w"], params["conv1a"]["b"],
+            params["conv1b"]["w"], params["conv1b"]["b"],
+            interpret=jax.default_backend() not in ("tpu", "axon")))
+        err = float(np.abs(got - ref).max())
+        _FUSED_STEM_OK = bool(
+            np.isfinite(err) and err < 1e-4 * max(np.abs(ref).max(), 1.0))
+        if not _FUSED_STEM_OK:
+            print(f"[superpoint] fused stem numeric gate FAILED "
+                  f"(max diff {err:.2e}) — falling back to XLA stem")
+    except Exception as e:  # compile crash (Mosaic HTTP 500 etc.)
+        print(f"[superpoint] fused stem compile gate FAILED "
+              f"({type(e).__name__}) — falling back to XLA stem")
+        _FUSED_STEM_OK = False
+    return _FUSED_STEM_OK
+
+
+def resolve_fused_stem(cfg: dict) -> dict:
+    """Resolve ``fused_stem: 'auto'`` to a concrete bool via the gate.
+    Call OUTSIDE jit (config prep time)."""
+    if cfg.get("fused_stem") == "auto":
+        cfg = dict(cfg)
+        cfg["fused_stem"] = fused_stem_supported()
+    return cfg
+
+
 def dense_heads(params: Params, images: jnp.ndarray,
                 compute_dtype: str = "float32",
                 fused_stem: bool = False,
-                stem: str = "polyphase"):
+                stem: str = "polyphase",
+                stem_dtype: str = "float32"):
     """Shared encoder + both heads.
 
     images: [B, H, W, 1] grayscale in [0, 1]. H, W divisible by 8.
@@ -203,16 +263,24 @@ def dense_heads(params: Params, images: jnp.ndarray,
         params = jax.tree.map(lambda p: p.astype(cdt), params)
     encoder = _ENCODER_CHANNELS
     if fused_stem and cdt == jnp.float32:
-        from onepose_tpu.ops.pallas_stem import fused_stem as _stem
+        from onepose_tpu.ops.pallas_stem import fused_stem_tiled as _stem
 
-        interpret = jax.default_backend() != "tpu"
+        interpret = jax.default_backend() not in ("tpu", "axon")
         x = _stem(images.astype(jnp.float32),
                   params["conv1a"]["w"], params["conv1a"]["b"],
                   params["conv1b"]["w"], params["conv1b"]["b"],
                   interpret=interpret)
         encoder = _ENCODER_CHANNELS[3:]  # skip conv1a/conv1b/pool
     elif stem == "polyphase":
-        x = _polyphase_stem(params, images.astype(cdt))
+        sdt = jnp.dtype(stem_dtype)
+        if cdt == jnp.float32 and sdt != jnp.float32:
+            p_stem = {**params, **jax.tree.map(
+                lambda t: t.astype(sdt),
+                {"conv1a": params["conv1a"], "conv1b": params["conv1b"]})}
+            x = _polyphase_stem(
+                p_stem, images.astype(sdt)).astype(jnp.float32)
+        else:
+            x = _polyphase_stem(params, images.astype(cdt))
         encoder = _ENCODER_CHANNELS[3:]  # skip conv1a/conv1b/pool
     else:
         x = images.astype(cdt)
@@ -409,7 +477,8 @@ def _extract_jit(params: Params, images: jnp.ndarray, config_items):
     scores, desc = dense_heads(
         params, images, config.get("compute_dtype", "float32"),
         config.get("fused_stem", False),
-        config.get("stem", "polyphase"))
+        config.get("stem", "polyphase"),
+        config.get("stem_dtype", "float32"))
     scores = simple_nms(scores, config["nms_radius"])
     return jax.vmap(lambda s, d: _select_keypoints_single(s, d, config))(
         scores, desc

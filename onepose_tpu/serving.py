@@ -145,6 +145,7 @@ class PoseServer:
 
         sp_cfg = dict(superpoint.DEFAULT_CONFIG)
         sp_cfg.update(sp_config or {})
+        sp_cfg = superpoint.resolve_fused_stem(sp_cfg)
         gats_cfg = dict(gats_spg.DEFAULT_CONFIG)
         gats_cfg.update(gats_config or {})
         self.sp_config_items = tuple(sorted(sp_cfg.items()))
