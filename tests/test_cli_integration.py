@@ -267,7 +267,9 @@ def test_validate_with_plots(tmp_path):
     metrics = train_cli.validate(
         cfg, params, {"num_blocks": 1, "match_threshold": 0.0}, epoch=0,
                                  n_plots=2)
-    assert set(metrics) == {"1cm@1degree", "3cm@3degree", "5cm@5degree"}
+    assert {"1cm@1degree", "3cm@3degree", "5cm@5degree"} <= set(metrics)
+    # f1/precision/recall heatmap callback metrics ride along
+    assert "val_f1/match_correct" in metrics
     import glob as _glob
 
     plots = _glob.glob(osp.join(root, "logs", "val_plots", "*.png"))

@@ -27,6 +27,98 @@ def _free_port():
     return port
 
 
+def _launch_world(worker, repo, extra_env, n_ranks=2, timeout=1500):
+    port = _free_port()
+    procs = []
+    for rank in range(n_ranks):
+        env = dict(os.environ)
+        env.update({
+            "ONEPOSE_COORDINATOR": f"127.0.0.1:{port}",
+            "ONEPOSE_NUM_PROCESSES": str(n_ranks),
+            "ONEPOSE_PROCESS_ID": str(rank),
+            "JAX_PLATFORMS": "cpu",
+        })
+        env.update(extra_env)
+        procs.append(subprocess.Popen(
+            [sys.executable, worker], env=env, cwd=repo,
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True))
+    outs = []
+    for p in procs:
+        out, err = p.communicate(timeout=timeout)
+        assert p.returncode == 0, f"rank failed:\n{out}\n{err}"
+        outs.append(out)
+    return outs
+
+
+def _step_losses(out, rank):
+    return {int(m.group(1)): float(m.group(2)) for m in re.finditer(
+        rf"RANK{rank} STEP (\d+) LOSS ([0-9.eE+-]+)", out)}
+
+
+@pytest.mark.slow
+def test_two_process_protocol_shapes_50_steps_and_resume(tmp_path):
+    """Multi-host beyond smoke (VERDICT r2 #6): 2 processes x 2 virtual
+    devices at protocol token budgets (shape2d=1000, shape3d=2000,
+    num_leaf=8) for 50 steps — per-step loss equality
+    across ranks AND vs a single-process run over the same global
+    batches; checkpoint written by rank 0 mid-run, then a FRESH
+    2-process world resumes from it and reproduces the remaining steps'
+    losses."""
+    repo = osp.dirname(osp.dirname(osp.abspath(__file__)))
+    worker = osp.join(repo, "tests", "_multihost_worker.py")
+    ckpt_dir = str(tmp_path / "ckpts")
+    os.makedirs(ckpt_dir)
+
+    outs = _launch_world(worker, repo, {
+        "ONEPOSE_MH_STEPS": "50", "ONEPOSE_MH_PROTOCOL": "1",
+        "ONEPOSE_MH_CKPT": ckpt_dir, "ONEPOSE_MH_CKPT_STEP": "30",
+    })
+    l0 = _step_losses(outs[0], 0)
+    l1 = _step_losses(outs[1], 1)
+    assert sorted(l0) == list(range(50))
+    assert sorted(l1) == list(range(50))
+    # replicated state: both ranks observe the identical loss every step
+    for i in range(50):
+        assert abs(l0[i] - l1[i]) < 1e-6, (i, l0[i], l1[i])
+    assert osp.exists(osp.join(ckpt_dir, "step=30"))
+
+    # single-process reference over the same deterministic global batches
+    import jax
+
+    import _multihost_worker as mw
+    from onepose_tpu.parallel import mesh as pmesh
+    from onepose_tpu.train import trainer
+
+    mesh = pmesh.make_mesh(4)
+    cfg = {"num_blocks": 1}
+    tx = trainer.make_optimizer(base_lr=1e-3, milestones_steps=[100],
+                                grad_clip=0.5)
+    state = pmesh.replicate(mesh, trainer.init_train_state(
+        jax.random.PRNGKey(0), tx, cfg))
+    step = trainer.make_train_step(tx, cfg)
+    drift = []
+    for i in range(50):
+        batch = mw.make_batch(i, 4, 1000, 2000, 8, 256)
+        state, loss = step(state, pmesh.shard_batch(mesh, batch))
+        drift.append(abs(float(np.asarray(loss)) - l0[i]))
+    # fp32 reduction-order drift compounds through the params; a real
+    # divergence (wrong slice, missed all-reduce) is O(loss) immediately
+    assert max(drift[:10]) < 1e-5, drift[:10]
+    assert max(drift) < 1e-3, max(drift)
+    jax.clear_caches()
+
+    # fresh world resumes from the rank-0 checkpoint: steps 30..49 match
+    outs2 = _launch_world(worker, repo, {
+        "ONEPOSE_MH_STEPS": "50", "ONEPOSE_MH_PROTOCOL": "1",
+        "ONEPOSE_MH_RESUME": osp.join(ckpt_dir, "step=30"),
+    })
+    assert "RANK0 RESUMED 30" in outs2[0]
+    r0 = _step_losses(outs2[0], 0)
+    assert sorted(r0) == list(range(30, 50))
+    for i in range(30, 50):
+        assert abs(r0[i] - l0[i]) < 1e-6, (i, r0[i], l0[i])
+
+
 @pytest.mark.slow
 def test_two_process_train_matches_single_process(tmp_path):
     repo = osp.dirname(osp.dirname(osp.abspath(__file__)))
