@@ -238,3 +238,35 @@ def test_parity_envelope_vs_cv2():
                 assert ok_o >= ok_c - 2, (planar, n, of, ok_o, ok_c)
     # overall: match-or-beat (planar cells put us well ahead)
     assert total_ours >= total_cv, (total_ours, total_cv, table)
+
+
+def test_p3p_exact_recovery():
+    """Grunert P3P must recover the exact pose from 3 noise-free
+    correspondences (one of the up-to-4 quartic branches matches GT)."""
+    rng = np.random.default_rng(11)
+    for trial in range(6):
+        pts3d = rng.uniform(-0.1, 0.1, (3, 3)).astype(np.float32)
+        R = geo.rodrigues(rng.normal(size=3) * 0.5)
+        t = np.array([0.02, -0.01, 0.5])
+        pose_gt = np.concatenate([R, t[:, None]], axis=1)
+        cam = (R @ pts3d.T + t[:, None]).T
+        uvn = (cam[:, :2] / cam[:, 2:3]).astype(np.float32)
+        poses = np.asarray(epnp.p3p(jnp.asarray(pts3d), jnp.asarray(uvn)))
+        best = min(
+            (geo.query_pose_error(p, pose_gt) for p in poses),
+            key=lambda e: e[0] + e[1])
+        assert best[0] < 0.3, (trial, best)   # deg (fp32 noise floor)
+        assert best[1] < 0.3, (trial, best)   # cm
+
+
+def test_quartic_roots():
+    """Durand-Kerner root finder vs numpy.roots on random quartics."""
+    rng = np.random.default_rng(3)
+    for _ in range(10):
+        c = rng.normal(size=5).astype(np.float32)
+        got = np.asarray(epnp._quartic_roots(jnp.asarray(c)))
+        ref = np.roots(c.astype(np.float64))
+        scale = max(np.abs(ref).max(), 1.0)
+        # order-free: every true root has a matching computed root
+        d = np.abs(got[None, :] - ref[:, None]).min(axis=1)
+        assert d.max() < 2e-2 * scale, (c, got, ref)
