@@ -106,12 +106,16 @@ def main():
         state, loss = step(state, pmesh.shard_batch(mesh, local))
         print(f"RANK{rank} STEP {i} LOSS {float(np.asarray(loss)):.8f}",
               flush=True)
-        if ckpt_dir and i + 1 == ckpt_step and rank == 0:
+        if ckpt_dir and i + 1 == ckpt_step:
+            # EVERY process calls save: orbax's checkpointer runs global
+            # barriers internally (sync_global_processes) and elects the
+            # writer itself — a rank-0-only call deadlocks/crashes on the
+            # barrier name mismatch.
             model_io.save_train_state(
                 jax.tree.map(np.asarray, state),
                 osp.join(ckpt_dir, f"step={i + 1}"))
-            print(f"RANK0 SAVED step={i + 1}", flush=True)
-        comm.synchronize()  # rank 1 must not race past the rank-0 save
+            if rank == 0:
+                print(f"RANK0 SAVED step={i + 1}", flush=True)
 
     final = float(np.asarray(loss))
     comm.synchronize()
