@@ -69,6 +69,7 @@ class LocalFeatureObjectDetector:
         self.sp_config = dict(superpoint.DEFAULT_CONFIG)
         self.sp_config.update(sp_config or {})
         self.sp_config["max_keypoints"] = max_keypoints
+        self.sp_config = superpoint.resolve_fused_stem(self.sp_config)
         self.sg_config = dict(superglue.DEFAULT_CONFIG)
         self.sg_config.update(sg_config or {})
 

@@ -69,6 +69,7 @@ def extract_to_h5(sp_params, img_lists: List[str], feature_out: str,
     resize_hw = (prep["resize_h"], prep["resize_w"])
     sp_cfg = dict(conf["conf"])
     sp_cfg.pop("descriptor_dim", None)
+    sp_cfg = superpoint.resolve_fused_stem(sp_cfg)
 
     put = jnp.asarray
     if mesh is not None:
