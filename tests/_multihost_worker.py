@@ -88,6 +88,10 @@ def main():
         restored = model_io.load_pytree(
             resume, {"params": state.params, "opt_state": state.opt_state,
                      "step": state.step})
+        # orbax returns device-committed arrays; replicate() would then
+        # need a cross-host transfer (unsupported on this backend). Host
+        # numpy leaves are placement-free.
+        restored = jax.tree.map(np.asarray, restored)
         state = trainer.TrainState(
             restored["params"], restored["opt_state"], restored["step"])
         start_step = int(np.asarray(restored["step"]))

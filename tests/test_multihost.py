@@ -85,6 +85,10 @@ def test_two_process_protocol_shapes_50_steps_and_resume(tmp_path):
     # single-process reference over the same deterministic global batches
     import jax
 
+    # initialize the backend BEFORE importing the worker module: its
+    # import-time env mutation pins XLA_FLAGS to 2 virtual devices, which
+    # would otherwise shrink THIS process's mesh
+    assert len(jax.devices()) >= 4
     import _multihost_worker as mw
     from onepose_tpu.parallel import mesh as pmesh
     from onepose_tpu.train import trainer

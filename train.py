@@ -84,6 +84,10 @@ def train(cfg):
         restored = model_io.load_pytree(
             latest, {"params": state.params, "opt_state": state.opt_state,
                      "step": state.step})
+        # host-numpy leaves: orbax returns device-committed arrays whose
+        # replicate() over a multi-host mesh would need an unsupported
+        # cross-host transfer
+        restored = jax.tree.map(np.asarray, restored)
         state = trainer.TrainState(
             restored["params"], restored["opt_state"], restored["step"])
         start_epoch = int(re.search(
