@@ -30,27 +30,47 @@ from onepose_tpu.pipeline import PoseOutput, poses_from_matches
 @functools.partial(
     jax.jit,
     static_argnames=("sp_config_items", "gats_config_items",
-                     "reproj_threshold", "num_hypotheses", "refine_iters"),
+                     "reproj_threshold", "num_hypotheses", "refine_iters",
+                     "uniform"),
 )
 def _serve_step(sp_params, gats_params, db_stack, obj_idx, images, Ks,
                 keys, sp_config_items, gats_config_items,
-                reproj_threshold, num_hypotheses, refine_iters):
-    """One mixed-object batch. db_stack arrays are [O, ...]; obj_idx [B]."""
+                reproj_threshold, num_hypotheses, refine_iters,
+                uniform=False):
+    """One mixed-object batch. db_stack arrays are [O, ...]; obj_idx [B].
+
+    ``uniform=True`` compiles the single-object fast path: every request
+    in the batch shares obj_idx[0], so the DB row is gathered ONCE and
+    broadcast — XLA then CSEs all DB-side matcher work across the batch
+    (measured 20.5 vs 31.9 ms/batch-8 at protocol shapes; the mixed path
+    must genuinely process B distinct DBs). The serve loop picks the
+    path per batch; production traffic is bursty per object, so uniform
+    batches are the common case.
+    """
     sp_cfg = dict(sp_config_items)
     det = superpoint.extract(sp_params, images, sp_cfg)
 
+    b = images.shape[0]
+    if uniform:
+        def pick(arr):
+            row = arr[obj_idx[0]]
+            return jnp.broadcast_to(row[None], (b,) + row.shape)
+    else:
+        def pick(arr):
+            return arr[obj_idx]
+
     data = {
         "descriptors2d_query": det.descriptors,
-        "descriptors3d_db": db_stack["descriptors3d"][obj_idx],
-        "descriptors2d_db": db_stack["descriptors2d_db"][obj_idx],
+        "descriptors3d_db": pick(db_stack["descriptors3d"]),
+        "descriptors2d_db": pick(db_stack["descriptors2d_db"]),
         "mask2d": det.mask,
-        "mask3d": db_stack["mask3d"][obj_idx],
+        "mask3d": pick(db_stack["mask3d"]),
     }
     match = gats_spg.forward(gats_params, data, dict(gats_config_items))
 
     pnp = poses_from_matches(
         det.keypoints, det.mask, match.matches0,
-        db_stack["keypoints3d"][obj_idx], Ks, keys,
+        pick(db_stack["keypoints3d"]), Ks, keys,
         reproj_threshold=reproj_threshold,
         num_hypotheses=num_hypotheses, refine_iters=refine_iters)
     return PoseOutput(
@@ -175,6 +195,10 @@ class PoseServer:
         Ks = np.stack([np.asarray(r.K, np.float32) for r in reqs])
         obj_idx = np.asarray(
             [self.name_to_idx[r.object_name] for r in reqs], np.int32)
+        # single-object batches take the broadcast fast path (the mesh
+        # path keeps the gather: the obj row lives on one model shard)
+        uniform = bool(
+            self.mesh is None and (obj_idx == obj_idx[0]).all())
         if to_device or self.mesh is not None:
             # device_put dispatches asynchronously: the transfer proceeds
             # while the caller keeps assembling/computing other batches.
@@ -182,7 +206,7 @@ class PoseServer:
             images = jax.device_put(images, self._data_sharding(images.ndim))
             Ks = jax.device_put(Ks, self._data_sharding(3))
             obj_idx = jax.device_put(obj_idx, self._data_sharding(1))
-        return images, Ks, obj_idx, n_real
+        return images, Ks, obj_idx, n_real, uniform
 
     def _data_sharding(self, ndim: int):
         if self.mesh is None:
@@ -193,7 +217,7 @@ class PoseServer:
 
     def _launch(self, staged):
         """Dispatch one assembled batch; returns (PoseOutput, n_real)."""
-        images, Ks, obj_idx, n_real = staged
+        images, Ks, obj_idx, n_real, uniform = staged
         self.key, sub = jax.random.split(self.key)
         keys = jax.random.split(sub, self.batch_size)
         if self.mesh is not None:
@@ -202,7 +226,8 @@ class PoseServer:
             self.sp_params, self.gats_params, self.db_stack,
             jnp.asarray(obj_idx), jnp.asarray(images), jnp.asarray(Ks),
             keys, self.sp_config_items, self.gats_config_items,
-            self.reproj_threshold, self.num_hypotheses, self.refine_iters)
+            self.reproj_threshold, self.num_hypotheses, self.refine_iters,
+            uniform=uniform)
         return out, n_real
 
     @staticmethod

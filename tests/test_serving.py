@@ -273,3 +273,51 @@ def test_full_catalog_81_objects_sharded(tmp_path):
           f"(virtual CPU mesh; catalog {stack_mb:.0f} MB over 4-way "
           f"model axis)")
     jax.clear_caches()  # big SPMD executables: see verify-skill note
+
+
+def test_uniform_batch_fast_path_matches_mixed_program():
+    """Single-object batches compile the broadcast fast path (DB gathered
+    once + CSE'd across the batch — measured 20.5 vs 31.9 ms/batch-8 at
+    protocol shapes); its results must be identical to the general
+    mixed-object program on the same requests."""
+    rng = np.random.default_rng(9)
+    key = jax.random.PRNGKey(9)
+    sp_params = superpoint.init_params(key)
+    gats_params = gats_spg.init_params(key)
+    dbs = {f"obj{i}": make_db(rng) for i in range(3)}
+    K = np.array([[460.0, 0, 32], [0, 460.0, 32], [0, 0, 1]], np.float32)
+
+    server = serving.PoseServer(
+        sp_params, gats_params, dbs, sp_config={"max_keypoints": 64},
+        batch_size=4, num_hypotheses=32, refine_iters=2, seed=3)
+
+    reqs_uniform = [
+        serving.PoseRequest(
+            "obj1", rng.uniform(0, 1, (64, 64)).astype(np.float32), K)
+        for _ in range(4)
+    ]
+    staged = server._assemble(reqs_uniform, to_device=False)
+    assert staged[-1] is True  # fast path engaged
+
+    # same requests, forced through the general mixed program
+    server.key = jax.random.PRNGKey(77)
+    r_fast = server.infer_batch(reqs_uniform)
+    server.key = jax.random.PRNGKey(77)
+    mixed = staged[:-1] + (False,)
+    out, n_real = server._launch(mixed)
+    r_mixed = server._fetch(out, n_real)
+
+    for a, b in zip(r_fast, r_mixed):
+        assert a["success"] == b["success"]
+        assert a["num_inliers"] == b["num_inliers"]
+        if a["pose"] is not None:
+            np.testing.assert_allclose(a["pose"], b["pose"], atol=1e-5)
+
+    # mixed batches still take the general path
+    reqs_mixed = [
+        serving.PoseRequest(
+            f"obj{i % 3}", rng.uniform(0, 1, (64, 64)).astype(np.float32),
+            K)
+        for i in range(4)
+    ]
+    assert server._assemble(reqs_mixed, to_device=False)[-1] is False
