@@ -61,8 +61,12 @@ def _serve_step(sp_params, gats_params, db_stack, obj_idx, images, Ks,
 
     data = {
         "descriptors2d_query": det.descriptors,
-        "descriptors3d_db": pick(db_stack["descriptors3d"]),
-        "descriptors2d_db": pick(db_stack["descriptors2d_db"]),
+        # upcast AFTER the gather: a bf16-stored catalog moves half the
+        # bytes; the matcher always computes in its configured dtype
+        "descriptors3d_db": pick(
+            db_stack["descriptors3d"]).astype(jnp.float32),
+        "descriptors2d_db": pick(
+            db_stack["descriptors2d_db"]).astype(jnp.float32),
         "mask2d": det.mask,
         "mask3d": pick(db_stack["mask3d"]),
     }
@@ -110,7 +114,16 @@ class PoseServer:
                  num_hypotheses: int = 512,
                  refine_iters: int = 5,
                  seed: int = 0,
-                 mesh=None):
+                 mesh=None,
+                 db_dtype: str = "float32"):
+        """``db_dtype="bfloat16"`` stores the descriptor stacks in bf16:
+        halves HBM per object (18.4 → 9.3 MB → ~1400 objects on one v5e)
+        and halves the per-request gather traffic. Descriptors are
+        L2-normalized unit vectors, so bf16 storage quantizes inputs at
+        ~0.4% relative; match sets can shift at threshold boundaries —
+        opt-in, validated by test_bf16_catalog_close_to_fp32. The
+        matcher still computes in fp32 (upcast after the gather);
+        keypoints3d stay fp32 (geometry)."""
         if not object_dbs:
             raise ValueError("need at least one object DB")
         shapes = {db.keypoints3d.shape[0] for db in object_dbs.values()}
@@ -124,6 +137,8 @@ class PoseServer:
         self.names = sorted(object_dbs)
         self.name_to_idx = {n: i for i, n in enumerate(self.names)}
 
+        store_dtype = jnp.dtype(db_dtype)
+
         def stack(key):
             arr = np.stack(
                 [np.asarray(getattr(object_dbs[n], key))
@@ -135,6 +150,8 @@ class PoseServer:
                 if pad:
                     arr = np.concatenate(
                         [arr, np.repeat(arr[-1:], pad, axis=0)])
+            if key in ("descriptors3d", "descriptors2d_db"):
+                arr = arr.astype(store_dtype)
             return arr
 
         if mesh is None:

@@ -4,6 +4,7 @@ import numpy as np
 import pytest
 
 import jax
+import jax.numpy as jnp
 
 from onepose_tpu import pipeline, serving
 from onepose_tpu.datasets import anno
@@ -321,3 +322,38 @@ def test_uniform_batch_fast_path_matches_mixed_program():
         for i in range(4)
     ]
     assert server._assemble(reqs_mixed, to_device=False)[-1] is False
+
+
+def test_bf16_catalog_close_to_fp32():
+    """db_dtype='bfloat16' (half the HBM and gather traffic per object)
+    must stay functionally close to the fp32 catalog: same success, near-
+    identical inlier counts and poses on well-conditioned requests."""
+    rng = np.random.default_rng(12)
+    key = jax.random.PRNGKey(12)
+    sp_params = superpoint.init_params(key)
+    gats_params = gats_spg.init_params(key)
+    dbs = {f"obj{i}": make_db(rng) for i in range(3)}
+    K = np.array([[460.0, 0, 32], [0, 460.0, 32], [0, 0, 1]], np.float32)
+    reqs = [
+        serving.PoseRequest(
+            f"obj{i % 3}", rng.uniform(0, 1, (64, 64)).astype(np.float32),
+            K)
+        for i in range(4)
+    ]
+
+    kw = dict(sp_config={"max_keypoints": 64}, batch_size=4,
+              num_hypotheses=32, refine_iters=2, seed=5)
+    s32 = serving.PoseServer(sp_params, gats_params, dbs, **kw)
+    s16 = serving.PoseServer(sp_params, gats_params, dbs,
+                             db_dtype="bfloat16", **kw)
+    assert s16.db_stack["descriptors3d"].dtype == jnp.bfloat16
+    assert s16.db_stack["keypoints3d"].dtype == jnp.float32
+
+    r32 = s32.infer_batch(reqs)
+    r16 = s16.infer_batch(reqs)
+    for a, b in zip(r32, r16):
+        assert a["success"] == b["success"]
+        # bf16 descriptor quantization may flip threshold-boundary
+        # matches; inlier counts must stay in the same regime
+        assert abs(a["num_inliers"] - b["num_inliers"]) <= max(
+            3, 0.2 * a["num_inliers"])
