@@ -27,16 +27,15 @@ from onepose_tpu.models import gats_spg, superpoint
 from onepose_tpu.pipeline import PoseOutput, poses_from_matches
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("sp_config_items", "gats_config_items",
-                     "reproj_threshold", "num_hypotheses", "refine_iters",
-                     "uniform"),
-)
-def _serve_step(sp_params, gats_params, db_stack, obj_idx, images, Ks,
-                keys, sp_config_items, gats_config_items,
-                reproj_threshold, num_hypotheses, refine_iters,
-                uniform=False):
+_SERVE_STATIC = ("sp_config_items", "gats_config_items",
+                 "reproj_threshold", "num_hypotheses", "refine_iters",
+                 "uniform")
+
+
+def _serve_step_impl(sp_params, gats_params, db_stack, obj_idx, images, Ks,
+                     keys, sp_config_items, gats_config_items,
+                     reproj_threshold, num_hypotheses, refine_iters,
+                     uniform=False):
     """One mixed-object batch. db_stack arrays are [O, ...]; obj_idx [B].
 
     ``uniform=True`` compiles the single-object fast path: every request
@@ -83,6 +82,23 @@ def _serve_step(sp_params, gats_params, db_stack, obj_idx, images, Ks,
         success=pnp.success, matches0=match.matches0,
         keypoints2d=det.keypoints, descriptors2d=det.descriptors,
         kpt_mask=det.mask)
+
+
+_serve_step = jax.jit(_serve_step_impl, static_argnames=_SERVE_STATIC)
+
+
+def put_global(arr, mesh, spec):
+    """Place a full host array as a global array sharded by ``spec``.
+
+    Works on single-process AND multi-process meshes: every process
+    supplies its addressable shards from the (identical) full host copy,
+    so no process ever device_puts to a device it cannot address."""
+    from jax.sharding import NamedSharding
+
+    arr = np.asarray(arr)
+    sharding = NamedSharding(mesh, spec)
+    return jax.make_array_from_callback(arr.shape, sharding,
+                                        lambda idx: arr[idx])
 
 
 class PoseRequest(NamedTuple):
@@ -163,22 +179,22 @@ class PoseServer:
                             "descriptors2d_db", "mask3d")
             }
         else:
-            from jax.sharding import NamedSharding, PartitionSpec as P
+            from jax.sharding import PartitionSpec as P
 
             if batch_size % mesh.shape["data"] != 0:
                 raise ValueError(
                     f"batch_size {batch_size} not divisible by data axis "
                     f"{mesh.shape['data']}")
-            replicated = NamedSharding(mesh, P())
-            self.sp_params = jax.device_put(sp_params, replicated)
-            self.gats_params = jax.device_put(gats_params, replicated)
+            self.sp_params = jax.tree.map(
+                lambda a: put_global(a, mesh, P()), sp_params)
+            self.gats_params = jax.tree.map(
+                lambda a: put_global(a, mesh, P()), gats_params)
             self.db_stack = {}
             for key in ("keypoints3d", "descriptors3d",
                         "descriptors2d_db", "mask3d"):
                 arr = stack(key)
                 spec = P("model", *([None] * (arr.ndim - 1)))
-                self.db_stack[key] = jax.device_put(
-                    jnp.asarray(arr), NamedSharding(mesh, spec))
+                self.db_stack[key] = put_global(arr, mesh, spec)
 
         sp_cfg = dict(superpoint.DEFAULT_CONFIG)
         sp_cfg.update(sp_config or {})
@@ -193,6 +209,9 @@ class PoseServer:
         self.num_hypotheses = num_hypotheses
         self.refine_iters = refine_iters
         self.key = jax.random.PRNGKey(seed)
+        # subclasses may swap in a re-jitted step (e.g. replicated
+        # out_shardings for the multi-host server, parallel/serve_launch.py)
+        self._serve_fn = _serve_step
 
         self._queue: "queue.Queue" = queue.Queue()
         self._stop = threading.Event()
@@ -220,17 +239,21 @@ class PoseServer:
             # device_put dispatches asynchronously: the transfer proceeds
             # while the caller keeps assembling/computing other batches.
             # With a mesh, request tensors shard over the data axis.
-            images = jax.device_put(images, self._data_sharding(images.ndim))
-            Ks = jax.device_put(Ks, self._data_sharding(3))
-            obj_idx = jax.device_put(obj_idx, self._data_sharding(1))
+            images = self._put_data(images)
+            Ks = self._put_data(Ks)
+            obj_idx = self._put_data(obj_idx)
         return images, Ks, obj_idx, n_real, uniform
 
-    def _data_sharding(self, ndim: int):
+    def _put_data(self, arr):
+        """Host→device for a request tensor: plain async device_put off
+        the mesh path; data-axis sharded global array on it (works on
+        single- and multi-process meshes alike)."""
         if self.mesh is None:
-            return None
-        from jax.sharding import NamedSharding, PartitionSpec as P
+            return jax.device_put(arr)
+        from jax.sharding import PartitionSpec as P
 
-        return NamedSharding(self.mesh, P("data", *([None] * (ndim - 1))))
+        return put_global(
+            arr, self.mesh, P("data", *([None] * (np.ndim(arr) - 1))))
 
     def _launch(self, staged):
         """Dispatch one assembled batch; returns (PoseOutput, n_real)."""
@@ -238,8 +261,8 @@ class PoseServer:
         self.key, sub = jax.random.split(self.key)
         keys = jax.random.split(sub, self.batch_size)
         if self.mesh is not None:
-            keys = jax.device_put(keys, self._data_sharding(keys.ndim))
-        out = _serve_step(
+            keys = self._put_data(np.asarray(keys))
+        out = self._serve_fn(
             self.sp_params, self.gats_params, self.db_stack,
             jnp.asarray(obj_idx), jnp.asarray(images), jnp.asarray(Ks),
             keys, self.sp_config_items, self.gats_config_items,

@@ -124,6 +124,44 @@ def test_two_process_protocol_shapes_50_steps_and_resume(tmp_path):
 
 
 @pytest.mark.slow
+def test_two_process_serving_matches_single_process(tmp_path):
+    """Multi-host serving (round-3 queue): 2 processes x 2 virtual devices
+    form a global ("data","model")=(2,2) mesh; the catalog is model-axis
+    sharded across processes, process 0 broadcasts request batches over
+    the collectives fabric, and the results must match a single-process
+    mesh server over the identical requests and PRNG seed."""
+    repo = osp.dirname(osp.dirname(osp.abspath(__file__)))
+    worker = osp.join(repo, "tests", "_multihost_serve_worker.py")
+    out_npz = str(tmp_path / "mh_results.npz")
+
+    outs = _launch_world(worker, repo, {"ONEPOSE_MHS_OUT": out_npz},
+                         timeout=900)
+    assert "RANK0 WROTE RESULTS" in outs[0]
+    got = np.load(out_npz)
+
+    # single-process reference: same catalog/requests/seed on a local
+    # (2,2) mesh inside this test process's 8 virtual devices
+    import jax
+
+    assert len(jax.devices()) >= 4
+    import _multihost_serve_worker as msw
+    from onepose_tpu import serving
+    from onepose_tpu.parallel import mesh as pmesh
+
+    mesh = pmesh.make_mesh(4, axis_shapes=(2, 2))
+    server = msw.make_server(serving.PoseServer, mesh)
+    for b in range(msw.N_BATCHES):
+        results = server.infer_batch(msw.make_requests(b))
+        for i, r in enumerate(results):
+            assert bool(got["success"][b][i]) == r["success"], (b, i)
+            assert int(got["inliers"][b][i]) == r["num_inliers"], (b, i)
+            if r["success"]:
+                np.testing.assert_allclose(
+                    got["poses"][b][i], r["pose"], atol=1e-5)
+    jax.clear_caches()
+
+
+@pytest.mark.slow
 def test_two_process_train_matches_single_process(tmp_path):
     repo = osp.dirname(osp.dirname(osp.abspath(__file__)))
     worker = osp.join(repo, "tests", "_multihost_worker.py")
