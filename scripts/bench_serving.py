@@ -57,6 +57,10 @@ def main():
     # virtual-mesh CPU test (test_serving.py) proves 81-object
     # functional correctness.
     ap.add_argument("--n-objects", type=int, default=81)
+    ap.add_argument("--uniform", action="store_true",
+                    help="time the uniform-batch fast path (all requests "
+                         "in a batch name the same object) instead of the "
+                         "mixed-object program")
     args = ap.parse_args()
 
     t0 = _t.time()
@@ -81,8 +85,12 @@ def main():
     Ks = jax.device_put(np.broadcast_to(
         np.array([[460.0, 0, W / 2], [0, 460.0, H / 2], [0, 0, 1]],
                  np.float32), (B, 3, 3)).copy())
-    obj_idx = jax.device_put(
-        (np.arange(B * 7) % n_objects)[:B].astype(np.int32))
+    if args.uniform:
+        obj_idx = jax.device_put(
+            np.full((B,), n_objects // 2, np.int32))
+    else:
+        obj_idx = jax.device_put(
+            (np.arange(B * 7) % n_objects)[:B].astype(np.int32))
     keys = jax.random.split(jax.random.PRNGKey(1), B)
 
     from onepose_tpu.serving import _serve_step
@@ -94,7 +102,8 @@ def main():
         out = _serve_step(
             server.sp_params, server.gats_params, server.db_stack,
             obj_idx, images + e, Ks, keys, server.sp_config_items,
-            server.gats_config_items, 5.0, 512, 5)
+            server.gats_config_items, 5.0, 512, 5,
+            uniform=args.uniform)
         return jnp.sum(out.poses)
 
     t0 = _t.time()
@@ -118,6 +127,7 @@ def main():
         "req_per_s": round(B / ms * 1000, 1),
         "catalog_mb": round(catalog_mb, 0),
         "n_objects": n_objects,
+        "uniform": bool(args.uniform),
     }))
 
 
