@@ -134,6 +134,101 @@ def _inv3(M: jnp.ndarray) -> jnp.ndarray:
     return adj / det
 
 
+def _eigh3_sym(A: jnp.ndarray):
+    """Closed-form eigendecomposition of a symmetric 3x3 matrix.
+
+    Returns ``(eigvals [3] ascending, eigvecs [3, 3])`` with columns
+    matching — the ``jnp.linalg.eigh`` convention — but via the
+    trigonometric characteristic-polynomial solution: pure elementwise
+    math, no QR-iteration while_loops (which dominate tiny-eigh runtime
+    on TPU and serialize under vmap). For repeated eigenvalues the
+    individual directions are arbitrary, but the returned basis is still
+    orthonormal — sufficient for every caller here (principal axes,
+    plane normals, Rayleigh-Ritz rotations).
+    """
+    a00, a01, a02 = A[0, 0], A[0, 1], A[0, 2]
+    a11, a12, a22 = A[1, 1], A[1, 2], A[2, 2]
+    eye = jnp.eye(3, dtype=A.dtype)
+    p1 = a01 * a01 + a02 * a02 + a12 * a12
+    q = (a00 + a11 + a22) / 3.0
+    p2 = (a00 - q) ** 2 + (a11 - q) ** 2 + (a22 - q) ** 2 + 2.0 * p1
+    p = jnp.sqrt(jnp.maximum(p2 / 6.0, 1e-30))
+    Bm = (A - q * eye) / p
+    r = jnp.clip(jnp.linalg.det(Bm) / 2.0, -1.0, 1.0)
+    phi = jnp.arccos(r) / 3.0
+    e_hi = q + 2.0 * p * jnp.cos(phi)
+    e_lo = q + 2.0 * p * jnp.cos(phi + 2.0 * jnp.pi / 3.0)
+    e_mid = 3.0 * q - e_hi - e_lo
+    vals = jnp.stack([e_lo, e_mid, e_hi])
+
+    def null_dir(lam, fallback):
+        # eigenvector = null direction of (A - lam I): the largest cross
+        # product of two of its rows (branchless; exact for simple
+        # eigenvalues, falls back under degeneracy).
+        M = A - lam * eye
+        cands = jnp.stack([jnp.cross(M[0], M[1]),
+                           jnp.cross(M[0], M[2]),
+                           jnp.cross(M[1], M[2])])
+        norms = jnp.linalg.norm(cands, axis=1)
+        v = cands[jnp.argmax(norms)]
+        v = jnp.where(jnp.max(norms) > 1e-24, v, fallback)
+        return v / jnp.maximum(jnp.linalg.norm(v), 1e-30)
+
+    v_hi = null_dir(e_hi, eye[0])
+    v_lo = null_dir(e_lo, eye[1])
+    # orthonormal completion: project v_lo off v_hi; if they collapsed
+    # (degenerate spectrum) take any direction orthogonal to v_hi.
+    v_lo = v_lo - jnp.dot(v_lo, v_hi) * v_hi
+    n_lo = jnp.linalg.norm(v_lo)
+    alt = jnp.cross(v_hi, eye[jnp.argmin(jnp.abs(v_hi))])
+    alt = alt / jnp.maximum(jnp.linalg.norm(alt), 1e-30)
+    v_lo = jnp.where(n_lo > 1e-12, v_lo / jnp.maximum(n_lo, 1e-30), alt)
+    v_mid = jnp.cross(v_hi, v_lo)
+    vecs = jnp.stack([v_lo, v_mid, v_hi], axis=1)
+    return vals, vecs
+
+
+# Fixed well-spread [12, 3] start block for the EPnP null-space subspace
+# iteration (orthonormalized once on host; any dense full-rank block works).
+_SUBSPACE_V0 = np.linalg.qr(
+    np.random.default_rng(7).normal(size=(12, 3)))[0].astype(np.float32)
+
+
+def smallest_eigvecs3_12(A: jnp.ndarray, iters: int = 4,
+                         shift: float = 1e-6) -> jnp.ndarray:
+    """The three eigenvectors of symmetric PSD ``A`` [12, 12] with the
+    smallest eigenvalues, as columns of a [12, 3] matrix in ascending
+    eigenvalue order.
+
+    TPU shape: inverse subspace iteration — ``iters`` applications of the
+    analytic block-Schur inverse (:func:`_inv_psd`, no triangular-solve
+    loops) with a Gram-Schmidt re-orthonormalization between steps (keeps
+    the block full-rank while the inverse amplifies the small end of the
+    spectrum), then a Rayleigh-Ritz rotation whose 3x3 eigenproblem is
+    closed-form (:func:`_eigh3_sym`). Replaces ``jnp.linalg.eigh`` whose
+    QR-iteration while_loop dominated the LO-RANSAC refit stage.
+    """
+    D = A.shape[0]
+    eye = jnp.eye(D, dtype=A.dtype)
+    scale = jnp.trace(A) / D + 1e-12
+    Ainv = _inv_psd(A + (shift * scale) * eye)
+
+    def orthonormalize(V):
+        q0 = V[:, 0] / jnp.maximum(jnp.linalg.norm(V[:, 0]), 1e-30)
+        v1 = V[:, 1] - jnp.dot(q0, V[:, 1]) * q0
+        q1 = v1 / jnp.maximum(jnp.linalg.norm(v1), 1e-30)
+        v2 = V[:, 2] - jnp.dot(q0, V[:, 2]) * q0 - jnp.dot(q1, V[:, 2]) * q1
+        q2 = v2 / jnp.maximum(jnp.linalg.norm(v2), 1e-30)
+        return jnp.stack([q0, q1, q2], axis=1)
+
+    V = jnp.asarray(_SUBSPACE_V0, A.dtype)
+    for _ in range(iters):
+        V = orthonormalize(Ainv @ V)
+    T = V.T @ A @ V
+    _, W = _eigh3_sym(0.5 * (T + T.T))
+    return V @ W
+
+
 def closest_rotation(M: jnp.ndarray, iters: int = 6):
     """Nearest proper rotation to a 3x3 matrix via Newton polar iteration
     X ← (X + X^-T)/2 (quadratic convergence), with a det-sign flip.
@@ -170,7 +265,7 @@ def _control_points(pts3d: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
     c0 = jnp.sum(pts3d * w[:, None], axis=0) / wsum
     centered = (pts3d - c0) * jnp.sqrt(w)[:, None]
     cov = centered.T @ centered / wsum
-    eigval, eigvec = jnp.linalg.eigh(cov)  # ascending
+    eigval, eigvec = _eigh3_sym(cov)  # ascending, closed form
     # scale axes by sqrt eigenvalue; floor for degenerate (planar) sets
     scales = jnp.sqrt(jnp.maximum(eigval, 1e-10))
     ctrl = c0[None, :] + eigvec.T * scales[:, None]
@@ -184,7 +279,7 @@ def _barycentric(pts3d: jnp.ndarray, ctrl: jnp.ndarray) -> jnp.ndarray:
     rhs = (pts3d - ctrl[0]).T   # [3, N]
     # Regularized solve for robustness to degenerate minimal samples.
     BtB = B.T @ B + 1e-10 * jnp.eye(3, dtype=pts3d.dtype)
-    a123 = jnp.linalg.solve(BtB, B.T @ rhs).T  # [N, 3]
+    a123 = (_inv3(BtB) @ (B.T @ rhs)).T  # [N, 3] (analytic 3x3 inverse)
     a0 = 1.0 - jnp.sum(a123, axis=1, keepdims=True)
     return jnp.concatenate([a0, a123], axis=1)
 
@@ -262,7 +357,7 @@ def epnp(pts3d: jnp.ndarray, uv_norm: jnp.ndarray,
     ctrl_w = _control_points(pts3d, weights)
     alphas = _barycentric(pts3d, ctrl_w)
     MtM = _build_MtM(alphas, uv_norm, weights)
-    _, eigvec = jnp.linalg.eigh(MtM)  # ascending eigenvalues
+    null3 = smallest_eigvecs3_12(MtM)  # [12, 3], ascending eigenvalues
 
     def candidate(v):
         ctrl_c = _solve_beta1(v, ctrl_w)
@@ -273,7 +368,7 @@ def epnp(pts3d: jnp.ndarray, uv_norm: jnp.ndarray,
         cost = jnp.sum(err * weights) / (jnp.sum(weights) + 1e-12)
         return pose, cost
 
-    poses, costs = jax.vmap(candidate)(eigvec[:, :3].T)
+    poses, costs = jax.vmap(candidate)(null3.T)
     best = jnp.argmin(costs)
     return poses[best]
 
@@ -297,7 +392,7 @@ def planar_pnp(pts3d: jnp.ndarray, uv_norm: jnp.ndarray,
     centered = (pts3d - c) * jnp.sqrt(weights)[:, None]
     cov = centered.T @ centered / wsum
     # plane normal = smallest principal axis (tiny 3x3 → power iteration)
-    normal = smallest_eigvec(cov, iters=8)
+    normal = _eigh3_sym(cov)[1][:, 0]  # closed form, no power iteration
     # in-plane basis via Gram-Schmidt against the least-aligned unit axis
     pick = jnp.argmin(jnp.abs(normal))
     e_seed = jnp.eye(3, dtype=pts3d.dtype)[pick]
@@ -544,7 +639,9 @@ def gauss_newton_refine(pose: jnp.ndarray, pts3d: jnp.ndarray,
         J = jacobian(pose).reshape(-1, 6)
         H = J.T @ J + damping * jnp.eye(6, dtype=pose.dtype)
         g = J.T @ r
-        delta = jnp.linalg.solve(H, -g)
+        # analytic block-Schur inverse: H is damped PD and 6x6, and the
+        # LU while_loop of jnp.linalg.solve serialized the whole GN scan
+        delta = -(_inv_psd(H) @ g)
         R_new = lie.so3_exp(delta[:3]) @ pose[:, :3]
         t_new = lie.so3_exp(delta[:3]) @ pose[:, 3] + delta[3:]
         return jnp.concatenate([R_new, t_new[:, None]], axis=1), None
@@ -689,6 +786,14 @@ def _ransac_pnp_body(key, pts2d, pts3d, mask, K, reproj_threshold,
     # --- iterated refit chains on every candidate + GN polish ---
     # The best raw consensus is not always the true pose's; polishing the
     # whole top-K lets a rank-2 true hypothesis overtake after refit.
+    # Cost shape: the chain runs ONE damped GN step per refit iteration
+    # (enough to re-rank candidates between refits); the full
+    # ``refine_iters`` polish runs once, on the winner only. The original
+    # formulation polished every candidate inside every scan iteration
+    # (cands x lo_iters x refine_iters GN steps) and was the single
+    # largest stage of the fused frame→pose program.
+    chain_gn = min(1, refine_iters)
+
     def refit_once(pose, _):
         inl, _, _ = score(pose)
         w = inl.astype(jnp.float32)
@@ -697,7 +802,7 @@ def _ransac_pnp_body(key, pts2d, pts3d, mask, K, reproj_threshold,
         pose_r = jnp.where(msac_for(pose_g) >= msac_for(pose_p),
                            pose_g, pose_p)
         pose_r = gauss_newton_refine(
-            pose_r, pts3d, uv_norm, w, iters=refine_iters)
+            pose_r, pts3d, uv_norm, w, iters=chain_gn)
         better = msac_for(pose_r) >= msac_for(pose)
         return jnp.where(better, pose_r, pose), None
 
@@ -708,7 +813,19 @@ def _ransac_pnp_body(key, pts2d, pts3d, mask, K, reproj_threshold,
 
     refined = jax.vmap(refit_chain)(cands)
     _, _, msac_ref = jax.vmap(score)(refined)
-    pose_final = refined[jnp.argmax(msac_ref)]
+    pose_best = refined[jnp.argmax(msac_ref)]
+
+    # full-strength GN polish on the winner's inlier set (kept only if it
+    # does not lose consensus — mirrors the per-candidate accept rule)
+    if refine_iters > 0:
+        inl_b, _, _ = score(pose_best)
+        pose_pol = gauss_newton_refine(
+            pose_best, pts3d, uv_norm, inl_b.astype(jnp.float32),
+            iters=refine_iters)
+        pose_best = jnp.where(msac_for(pose_pol) >= msac_for(pose_best),
+                              pose_pol, pose_best)
+
+    pose_final = pose_best
     inliers_final, count_final, _ = score(pose_final)
 
     min_inl = min(sample_size, 4)
