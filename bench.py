@@ -44,24 +44,6 @@ PEAK_FLOPS = {
 }
 
 
-def chain_time_ms(f, n=20, blocks=3):
-    """Best ms/call over warm chained blocks (f: scalar eps → scalar).
-    One host fetch per block; first block is a throwaway (hidden
-    first-execution warmup on the tunneled backend — BASELINE.md)."""
-    import jax.numpy as jnp
-
-    def block():
-        t0 = time.perf_counter()
-        o = jnp.float32(0.0)
-        for _ in range(n):
-            o = f(o * 0)
-        np.asarray(o)
-        return (time.perf_counter() - t0) / n * 1000
-
-    block()
-    return min(block() for _ in range(blocks))
-
-
 def main():
     import jax
     import jax.numpy as jnp
@@ -99,80 +81,97 @@ def main():
                  np.float32), (BATCH, 3, 3)).copy())
     keys = jax.random.split(jax.random.PRNGKey(1), BATCH)
 
-    # Warmup / compile. NOTE: on the tunneled TPU backend
-    # jax.block_until_ready returns before execution completes, so timing
-    # forces completion with a host fetch (np.asarray). Every host fetch
-    # costs a ~29 ms HTTP round trip on this tunnel, so the steady-state
-    # measurement chains iterations through a scalar data dependency and
-    # fetches ONE scalar per block — measuring device throughput (the
-    # deployment-relevant number on directly-attached hardware) rather
-    # than tunnel latency. The first chained block is a throwaway: it
-    # absorbs a hidden first-execution/autotuning cost that can reach
-    # seconds on this backend.
-    out = pipe(images, Ks, keys)
-    np.asarray(out.poses)
-
-    n_iters, n_blocks = 20, 9  # 1 throwaway + 8 counted
-    fps_samples = []
-    for blk in range(n_blocks):
-        t0 = time.perf_counter()
-        eps = jnp.float32(0.0)
-        for _ in range(n_iters):
-            out = pipe(images + eps * 0, Ks, keys)
-            eps = jnp.sum(out.poses)
-        np.asarray(eps)
-        dt = time.perf_counter() - t0
-        if blk > 0:
-            fps_samples.append(BATCH * n_iters / dt)
-    fps = float(np.median(fps_samples))
-    q25, q75 = np.percentile(fps_samples, [25, 75])
-    total_ms = BATCH / fps * 1000 * BATCH / BATCH  # ms per batch of BATCH
-
-    # --- per-stage attribution (same chained protocol, best-of-3) ---
+    # Measurement protocol (r3 revision). NOTE: on the tunneled TPU
+    # backend jax.block_until_ready returns before execution completes,
+    # so timing forces completion with a host fetch (np.asarray); each
+    # fetch is a ~29 ms HTTP round trip, so iterations chain through a
+    # scalar data dependency with ONE fetch per block. Two r2-protocol
+    # flaws fixed here (both found on-chip):
+    #  - the headline loop ran ~4 host dispatches per iteration (eps*0,
+    #    images+, the pipeline call, the sum); on slow tunnel hours the
+    #    per-dispatch overhead inflated the headline ~10 ms/iter with
+    #    per-stage timings unchanged. The whole chain iteration is now
+    #    ONE jitted scalar→scalar program.
+    #  - the stage timers closed over precomputed inputs as compile-time
+    #    constants, letting XLA fold data-independent work (measured: the
+    #    in-context PnP stage cost 7.7x the constant-folded timer).
+    #    Stages now come from CUMULATIVE program prefixes (extract;
+    #    extract+match; full) timed identically, so stage deltas are
+    #    in-context costs and sum exactly to the total.
+    # The first chained block of each program is a throwaway: it absorbs
+    # a hidden first-execution/autotuning cost on this backend.
     sp_cfg_items = pipe.sp_config_items
     gats_cfg_items = pipe.gats_config_items
-    det = superpoint.extract(sp_params, images, dict(sp_cfg_items))
-    det = jax.tree.map(jnp.asarray, det)
-
-    f_extract = jax.jit(lambda e: jnp.sum(superpoint.extract(
-        sp_params, images + e, dict(sp_cfg_items)).keypoints))
+    sp_cfg = dict(sp_cfg_items)
+    gats_cfg = dict(gats_cfg_items)
     n2 = db.descriptors3d.shape[0]
-    data = {
-        "descriptors2d_query": det.descriptors,
-        "descriptors3d_db": jnp.broadcast_to(
-            jnp.asarray(db.descriptors3d)[None], (BATCH, n2, 256)),
-        "descriptors2d_db": jnp.broadcast_to(
-            jnp.asarray(db.descriptors2d_db)[None],
-            (BATCH,) + db.descriptors2d_db.shape),
-        "mask2d": det.mask,
-        "mask3d": jnp.broadcast_to(jnp.asarray(db.mask3d)[None], (BATCH, n2)),
-    }
+    dbt = pipe.db
 
-    def match_f(e):
-        d = dict(data)
-        d["descriptors2d_query"] = d["descriptors2d_query"] + e
-        m = gats_spg.forward(gats_params, d, dict(gats_cfg_items))
-        return jnp.sum(m.matching_scores0)
+    def _detect(e):
+        return superpoint.extract(sp_params, images + e * 1e-30, sp_cfg)
 
-    f_match = jax.jit(match_f)
-    match = gats_spg.forward(gats_params, data, dict(gats_cfg_items))
-    m0 = jnp.asarray(match.matches0)
+    def _match(det):
+        data = {
+            "descriptors2d_query": det.descriptors,
+            "descriptors3d_db": jnp.broadcast_to(
+                dbt["descriptors3d"][None], (BATCH, n2, 256)),
+            "descriptors2d_db": jnp.broadcast_to(
+                dbt["descriptors2d_db"][None],
+                (BATCH,) + dbt["descriptors2d_db"].shape),
+            "mask2d": det.mask,
+            "mask3d": jnp.broadcast_to(dbt["mask3d"][None], (BATCH, n2)),
+        }
+        return gats_spg.forward(gats_params, data, gats_cfg)
 
-    def pnp_f(e):
-        res = pipeline.poses_from_matches(
-            det.keypoints + e, det.mask, m0,
-            jnp.asarray(db.keypoints3d), Ks, keys,
-            num_hypotheses=NUM_HYPOTHESES)
-        return jnp.sum(res.pose)
+    @jax.jit
+    def p1(e):
+        det = _detect(e)
+        return (jnp.sum(det.keypoints) + jnp.sum(det.descriptors)
+                + jnp.sum(det.scores))
 
-    f_pnp = jax.jit(pnp_f)
+    @jax.jit
+    def p2(e):
+        det = _detect(e)
+        m = _match(det)
+        return jnp.sum(m.matching_scores0) + jnp.sum(det.keypoints)
 
+    @jax.jit
+    def p3(e):
+        out = pipeline._frame_to_pose_jit(
+            pipe.sp_params, pipe.gats_params, pipe.db,
+            images + e * 1e-30, Ks, jnp.asarray(keys),
+            sp_cfg_items, gats_cfg_items, pipe.reproj_threshold,
+            pipe.num_hypotheses, pipe.refine_iters, pipe.use_pallas_match)
+        return jnp.sum(out.poses)
+
+    n_iters = 20
+
+    def timed_blocks(f, blocks):
+        np.asarray(f(jnp.float32(0.0)))  # compile
+        samples = []
+        for blk in range(blocks + 1):
+            t0 = time.perf_counter()
+            eps = jnp.float32(0.0)
+            for _ in range(n_iters):
+                eps = f(eps)
+            np.asarray(eps)
+            if blk > 0:  # first block = throwaway
+                samples.append((time.perf_counter() - t0) / n_iters * 1000)
+        return samples
+
+    ms_samples = timed_blocks(p3, blocks=8)
+    total_ms = float(np.median(ms_samples))
+    fps_samples = [BATCH / ms * 1000 for ms in ms_samples]
+    fps = float(np.median(fps_samples))
+    q25, q75 = np.percentile(fps_samples, [25, 75])
+
+    extract_ms = float(np.median(timed_blocks(p1, blocks=3)))
+    prefix2_ms = float(np.median(timed_blocks(p2, blocks=3)))
     stages = {
-        "extract_ms": round(chain_time_ms(f_extract), 2),
-        "match_ms": round(chain_time_ms(f_match), 2),
-        "pnp_ms": round(chain_time_ms(f_pnp), 2),
-        "total_ms": round(BATCH * n_iters / np.median(fps_samples)
-                          / n_iters * 1000, 2),
+        "extract_ms": round(extract_ms, 2),
+        "match_ms": round(prefix2_ms - extract_ms, 2),
+        "pnp_ms": round(total_ms - prefix2_ms, 2),
+        "total_ms": round(total_ms, 2),
     }
 
     # --- FLOP-based MFU (XLA cost analysis of the full fused program) ---
