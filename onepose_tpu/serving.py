@@ -40,11 +40,13 @@ def _serve_step_impl(sp_params, gats_params, db_stack, obj_idx, images, Ks,
 
     ``uniform=True`` compiles the single-object fast path: every request
     in the batch shares obj_idx[0], so the DB row is gathered ONCE and
-    broadcast — XLA then CSEs all DB-side matcher work across the batch
-    (measured 20.5 vs 31.9 ms/batch-8 at protocol shapes; the mixed path
-    must genuinely process B distinct DBs). The serve loop picks the
-    path per batch; production traffic is bursty per object, so uniform
-    batches are the common case.
+    broadcast. Measured at protocol shapes on chip (single-dispatch
+    chain protocol, docs/DESIGN.md §8/§11): 23.96 vs 24.45 ms/batch-8 —
+    the per-request gather is bandwidth-trivial, so this saves ~2%, not
+    the large margin an earlier (protocol-flawed) measurement suggested.
+    Kept because the selection is free: the serve loop picks the path at
+    batch-assembly time, and production traffic is bursty per object, so
+    uniform batches are the common case.
     """
     sp_cfg = dict(sp_config_items)
     det = superpoint.extract(sp_params, images, sp_cfg)
