@@ -176,13 +176,24 @@ def _eigh3_sym(A: jnp.ndarray):
 
     v_hi = null_dir(e_hi, eye[0])
     v_lo = null_dir(e_lo, eye[1])
-    # orthonormal completion: project v_lo off v_hi; if they collapsed
-    # (degenerate spectrum) take any direction orthogonal to v_hi.
-    v_lo = v_lo - jnp.dot(v_lo, v_hi) * v_hi
-    n_lo = jnp.linalg.norm(v_lo)
-    alt = jnp.cross(v_hi, eye[jnp.argmin(jnp.abs(v_hi))])
+    # Orthonormal completion. Direction matters: null_dir is exact only
+    # for a SIMPLE eigenvalue, and projecting the exact vector off an
+    # ill-posed one transfers the degenerate pair's error into it
+    # (measured: up to ~16 deg of plane-normal tilt for a symmetric
+    # planar covariance with eigenvalues (0, s, s) when v_lo was
+    # orthogonalized against the degenerate v_hi). Trust whichever end
+    # of the spectrum is more isolated and orthogonalize the other
+    # against it — branchless via where.
+    lo_isolated = (e_mid - e_lo) >= (e_hi - e_mid)
+    v_t = jnp.where(lo_isolated, v_lo, v_hi)   # trusted (simple) end
+    v_o = jnp.where(lo_isolated, v_hi, v_lo)   # possibly degenerate end
+    v_o = v_o - jnp.dot(v_o, v_t) * v_t
+    n_o = jnp.linalg.norm(v_o)
+    alt = jnp.cross(v_t, eye[jnp.argmin(jnp.abs(v_t))])
     alt = alt / jnp.maximum(jnp.linalg.norm(alt), 1e-30)
-    v_lo = jnp.where(n_lo > 1e-12, v_lo / jnp.maximum(n_lo, 1e-30), alt)
+    v_o = jnp.where(n_o > 1e-12, v_o / jnp.maximum(n_o, 1e-30), alt)
+    v_lo = jnp.where(lo_isolated, v_t, v_o)
+    v_hi = jnp.where(lo_isolated, v_o, v_t)
     v_mid = jnp.cross(v_hi, v_lo)
     vecs = jnp.stack([v_lo, v_mid, v_hi], axis=1)
     return vals, vecs
@@ -241,7 +252,7 @@ def closest_rotation(M: jnp.ndarray, iters: int = 6):
     nrm = jnp.sqrt(jnp.sum(X0 * X0) / 3.0) + 1e-12
     X = X0 / nrm
 
-    def body(_, X):
+    def body(X):
         # scaled Newton: mu = |det X|^(-1/3) equalizes the singular values
         # around 1, giving fast global convergence even for spread spectra
         mu = jnp.abs(jnp.linalg.det(X)) ** (-1.0 / 3.0)
@@ -249,7 +260,11 @@ def closest_rotation(M: jnp.ndarray, iters: int = 6):
         Xs = mu * X
         return 0.5 * (Xs + _inv3(Xs).T)
 
-    R = jax.lax.fori_loop(0, iters, body, X)
+    # Python-unrolled: static trip count, tiny 3x3 body — a while-loop's
+    # per-iteration overhead would dominate (see _quartic_roots).
+    R = X
+    for _ in range(iters):
+        R = body(R)
     lam_pos = jnp.trace(R.T @ X0) / 3.0
     return R, sign * lam_pos
 
@@ -496,7 +511,7 @@ def _quartic_roots(coeffs: jnp.ndarray, iters: int = 30) -> jnp.ndarray:
 
     z0 = (0.4 + 0.9j) ** jnp.arange(1, 5).astype(jnp.complex64)
 
-    def body(_, z):
+    def body(z):
         pz = poly(z)
         diff = z[:, None] - z[None, :] + jnp.eye(4, dtype=z.dtype)
         denom = jnp.prod(diff, axis=1)
@@ -507,7 +522,13 @@ def _quartic_roots(coeffs: jnp.ndarray, iters: int = 30) -> jnp.ndarray:
         step = jnp.where(mag > 10.0, step * (10.0 / mag), step)
         return z - step
 
-    return jax.lax.fori_loop(0, iters, body, z0)
+    # Python-unrolled (static trip count): a lax.fori_loop here lowers to
+    # a device while-loop whose per-iteration overhead dwarfs the ~15
+    # elementwise ops of the body; unrolled, XLA fuses the whole chain.
+    z = z0
+    for _ in range(iters):
+        z = body(z)
+    return z
 
 
 # Vandermonde inverse for degree-4 coefficient extraction from values at
@@ -634,7 +655,7 @@ def gauss_newton_refine(pose: jnp.ndarray, pts3d: jnp.ndarray,
         J = jnp.einsum("nij,njk->nik", J_proj, J_cam)  # [N, 2, 6]
         return J * jnp.sqrt(weights)[:, None, None]
 
-    def step(pose, _):
+    def step(pose):
         r = residuals(pose).reshape(-1)
         J = jacobian(pose).reshape(-1, 6)
         H = J.T @ J + damping * jnp.eye(6, dtype=pose.dtype)
@@ -644,9 +665,12 @@ def gauss_newton_refine(pose: jnp.ndarray, pts3d: jnp.ndarray,
         delta = -(_inv_psd(H) @ g)
         R_new = lie.so3_exp(delta[:3]) @ pose[:, :3]
         t_new = lie.so3_exp(delta[:3]) @ pose[:, 3] + delta[3:]
-        return jnp.concatenate([R_new, t_new[:, None]], axis=1), None
+        return jnp.concatenate([R_new, t_new[:, None]], axis=1)
 
-    pose, _ = jax.lax.scan(step, pose, None, length=iters)
+    # Python-unrolled (static trip count) so XLA schedules the iterations
+    # as one fused region instead of a device while-loop.
+    for _ in range(iters):
+        pose = step(pose)
     return pose
 
 
@@ -794,7 +818,7 @@ def _ransac_pnp_body(key, pts2d, pts3d, mask, K, reproj_threshold,
     # largest stage of the fused frame→pose program.
     chain_gn = min(1, refine_iters)
 
-    def refit_once(pose, _):
+    def refit_once(pose):
         inl, _, _ = score(pose)
         w = inl.astype(jnp.float32)
         pose_g = epnp(pts3d, uv_norm, w + 1e-9)
@@ -804,12 +828,14 @@ def _ransac_pnp_body(key, pts2d, pts3d, mask, K, reproj_threshold,
         pose_r = gauss_newton_refine(
             pose_r, pts3d, uv_norm, w, iters=chain_gn)
         better = msac_for(pose_r) >= msac_for(pose)
-        return jnp.where(better, pose_r, pose), None
+        return jnp.where(better, pose_r, pose)
 
     def refit_chain(pose):
-        out, _ = jax.lax.scan(refit_once, pose, None,
-                              length=max(lo_iters, 1))
-        return out
+        # Python-unrolled (static, small trip count): frees XLA to fuse
+        # and overlap across the two refit iterations.
+        for _ in range(max(lo_iters, 1)):
+            pose = refit_once(pose)
+        return pose
 
     refined = jax.vmap(refit_chain)(cands)
     _, _, msac_ref = jax.vmap(score)(refined)

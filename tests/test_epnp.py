@@ -240,6 +240,33 @@ def test_parity_envelope_vs_cv2():
     assert total_ours >= total_cv, (total_ours, total_cv, table)
 
 
+def test_eigh3_degenerate_pair_keeps_simple_eigvec_exact():
+    """A (near-)degenerate eigenvalue PAIR must not corrupt the simple
+    eigenvalue's eigenvector: symmetric planar covariances (eigenvalues
+    ~(0, s, s) — square/circular box faces) are the planar solver's core
+    input, and the plane normal (the simple, smallest direction) must
+    stay exact. Regression: orthogonalizing the exact vector against the
+    ill-posed degenerate one tilted the normal up to ~16 deg."""
+    rng = np.random.default_rng(3)
+    for lams in [(1e-7, 0.05, 0.05),     # planar-symmetric: v_lo simple
+                 (0.05, 0.05, 1.0),      # needle: v_hi simple
+                 (1e-7, 0.02, 0.05)]:    # all simple
+        worst_lo = worst_hi = 1.0
+        for _ in range(300):
+            Q = np.linalg.qr(rng.normal(size=(3, 3)))[0].astype(np.float32)
+            A = (Q * np.array(lams, np.float32)) @ Q.T
+            A = 0.5 * (A + A.T)
+            V = np.asarray(epnp._eigh3_sym(jnp.asarray(A))[1])
+            assert np.abs(V.T @ V - np.eye(3)).max() < 1e-5
+            worst_lo = min(worst_lo, abs(float(V[:, 0] @ Q[:, 0])))
+            worst_hi = min(worst_hi, abs(float(V[:, 2] @ Q[:, 2])))
+        gap_lo, gap_hi = lams[1] - lams[0], lams[2] - lams[1]
+        if gap_lo >= gap_hi:     # smallest eigenvalue is the simple one
+            assert worst_lo > 0.9999, (lams, worst_lo)
+        if gap_hi >= gap_lo:     # largest eigenvalue is the simple one
+            assert worst_hi > 0.9999, (lams, worst_hi)
+
+
 def test_p3p_exact_recovery():
     """Grunert P3P must recover the exact pose from 3 noise-free
     correspondences (one of the up-to-4 quartic branches matches GT)."""
