@@ -21,7 +21,6 @@ runs of the same binary — BASELINE.md), and the per-stage ms make any
 round-over-round delta attributable to a specific stage.
 """
 import json
-import time
 
 import numpy as np
 
@@ -81,36 +80,26 @@ def main():
                  np.float32), (BATCH, 3, 3)).copy())
     keys = jax.random.split(jax.random.PRNGKey(1), BATCH)
 
-    # Measurement protocol (r3 revision). NOTE: on the tunneled TPU
-    # backend jax.block_until_ready returns before execution completes,
-    # so timing forces completion with a host fetch (np.asarray); each
-    # fetch is a ~29 ms HTTP round trip, so iterations chain through a
-    # scalar data dependency with ONE fetch per block. Two r2-protocol
-    # flaws fixed here (both found on-chip):
-    #  - the headline loop ran ~4 host dispatches per iteration (eps*0,
-    #    images+, the pipeline call, the sum); on slow tunnel hours the
-    #    per-dispatch overhead inflated the headline ~10 ms/iter with
-    #    per-stage timings unchanged. The whole chain iteration is now
-    #    ONE jitted scalar→scalar program.
-    #  - the stage timers closed over precomputed inputs as compile-time
-    #    constants, letting XLA fold data-independent work (measured: the
-    #    in-context PnP stage cost 7.7x the constant-folded timer).
-    #    Stages now come from CUMULATIVE program prefixes (extract;
-    #    extract+match; full) timed identically, so stage deltas are
-    #    in-context costs and sum exactly to the total.
-    # The first chained block of each program is a throwaway: it absorbs
-    # a hidden first-execution/autotuning cost on this backend.
+    # Measurement protocol (r3 revision): docs/DESIGN.md §8, implemented
+    # once in onepose_tpu/utils/chipbench.py (chained scalar→scalar
+    # programs, one fetch per block, throwaway first block, and EVERY
+    # operand passed as an argument — closure-captured device arrays
+    # become compile-time constants and XLA folds data-independent work
+    # out of the measurement; that mechanism hid an 8 ms PnP regression
+    # in r3 and would equally let DB-/param-only work vanish from the
+    # extract/match prefixes here).
+    from onepose_tpu.utils.chipbench import chain_blocks
+
     sp_cfg_items = pipe.sp_config_items
     gats_cfg_items = pipe.gats_config_items
     sp_cfg = dict(sp_cfg_items)
     gats_cfg = dict(gats_cfg_items)
     n2 = db.descriptors3d.shape[0]
-    dbt = pipe.db
 
-    def _detect(e):
+    def _detect(e, sp_params, images):
         return superpoint.extract(sp_params, images + e * 1e-30, sp_cfg)
 
-    def _match(det):
+    def _match(det, gats_params, dbt):
         data = {
             "descriptors2d_query": det.descriptors,
             "descriptors3d_db": jnp.broadcast_to(
@@ -124,40 +113,30 @@ def main():
         return gats_spg.forward(gats_params, data, gats_cfg)
 
     @jax.jit
-    def p1(e):
-        det = _detect(e)
+    def p1(e, sp_params, gats_params, dbt, images, Ks, keys):
+        det = _detect(e, sp_params, images)
         return (jnp.sum(det.keypoints) + jnp.sum(det.descriptors)
                 + jnp.sum(det.scores))
 
     @jax.jit
-    def p2(e):
-        det = _detect(e)
-        m = _match(det)
+    def p2(e, sp_params, gats_params, dbt, images, Ks, keys):
+        det = _detect(e, sp_params, images)
+        m = _match(det, gats_params, dbt)
         return jnp.sum(m.matching_scores0) + jnp.sum(det.keypoints)
 
     @jax.jit
-    def p3(e):
+    def p3(e, sp_params, gats_params, dbt, images, Ks, keys):
         out = pipeline._frame_to_pose_jit(
-            pipe.sp_params, pipe.gats_params, pipe.db,
-            images + e * 1e-30, Ks, jnp.asarray(keys),
+            sp_params, gats_params, dbt, images + e * 1e-30, Ks, keys,
             sp_cfg_items, gats_cfg_items, pipe.reproj_threshold,
             pipe.num_hypotheses, pipe.refine_iters, pipe.use_pallas_match)
         return jnp.sum(out.poses)
 
-    n_iters = 20
+    operands = (pipe.sp_params, pipe.gats_params, pipe.db, images, Ks,
+                jnp.asarray(keys))
 
     def timed_blocks(f, blocks):
-        np.asarray(f(jnp.float32(0.0)))  # compile
-        samples = []
-        for blk in range(blocks + 1):
-            t0 = time.perf_counter()
-            eps = jnp.float32(0.0)
-            for _ in range(n_iters):
-                eps = f(eps)
-            np.asarray(eps)
-            if blk > 0:  # first block = throwaway
-                samples.append((time.perf_counter() - t0) / n_iters * 1000)
-        return samples
+        return chain_blocks(f, operands, n_iters=20, blocks=blocks)
 
     ms_samples = timed_blocks(p3, blocks=8)
     total_ms = float(np.median(ms_samples))

@@ -66,16 +66,11 @@ class MultiHostPoseServer(serving.PoseServer):
 
     def encode_batch(self, requests: Sequence[PoseRequest]):
         """Pad a request list to the static batch and return HOST arrays
-        (images [B,H,W], Ks [B,3,3], obj_idx [B], n_real) — the
-        broadcast payload. Frontend-side (process 0) only."""
-        n_real = len(requests)
-        reqs = list(requests)[: self.batch_size]
-        while len(reqs) < self.batch_size:
-            reqs.append(reqs[-1])
-        images = np.stack([np.asarray(r.image, np.float32) for r in reqs])
-        Ks = np.stack([np.asarray(r.K, np.float32) for r in reqs])
-        obj_idx = np.asarray(
-            [self.name_to_idx[r.object_name] for r in reqs], np.int32)
+        (images [B,H,W,1], Ks [B,3,3], obj_idx [B], n_real) — the
+        broadcast payload. Frontend-side (process 0) only. Delegates to
+        the shared ``PoseServer._encode_host`` so the single- and
+        multi-host batching semantics cannot drift."""
+        images, Ks, obj_idx, n_real = self._encode_host(requests)
         return images, Ks, obj_idx, np.int32(n_real)
 
     def collective_infer(self, images, Ks, obj_idx, n_real) -> List[dict]:
@@ -112,26 +107,39 @@ def serve_forever(server: MultiHostPoseServer,
     if is_root and next_batch is None:
         raise ValueError("process 0 must provide next_batch")
 
-    zeros = (np.zeros((B, H, W), np.float32),
+    zeros = (np.zeros((B, H, W, 1), np.float32),
              np.zeros((B, 3, 3), np.float32),
              np.zeros((B,), np.int32), np.int32(0))
     served = 0
     while True:
         stop = np.int32(0)
         payload = zeros
+        err: Optional[BaseException] = None
         if is_root:
-            reqs = next_batch()
-            if reqs is None:
+            # Any frontend error (unknown object name in encode_batch,
+            # image-shape mismatch, a raising next_batch) must still
+            # reach the broadcast: the other processes are already
+            # blocked in broadcast_one_to_all, and skipping it would
+            # wedge the whole fleet. Broadcast stop=1, then re-raise.
+            try:
+                reqs = next_batch()
+                if reqs is None:
+                    stop = np.int32(1)
+                else:
+                    payload = server.encode_batch(reqs)
+                    if payload[0].shape[1:3] != (H, W):
+                        raise ValueError(
+                            f"request images {payload[0].shape[1:3]} != "
+                            f"declared image_shape {(H, W)}")
+            except BaseException as e:
+                err = e
                 stop = np.int32(1)
-            else:
-                payload = server.encode_batch(reqs)
-                if payload[0].shape[1:] != (H, W):
-                    raise ValueError(
-                        f"request images {payload[0].shape[1:]} != "
-                        f"declared image_shape {(H, W)}")
+                payload = zeros
         stop, payload = mhu.broadcast_one_to_all((stop, payload),
                                                  is_source=is_root)
         if int(stop):
+            if err is not None:
+                raise err
             return served
         results = server.collective_infer(*payload)
         served += 1

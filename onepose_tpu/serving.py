@@ -133,7 +133,8 @@ class PoseServer:
                  refine_iters: int = 5,
                  seed: int = 0,
                  mesh=None,
-                 db_dtype: str = "float32"):
+                 db_dtype: str = "float32",
+                 uniform_fast_path: bool = False):
         """``db_dtype="bfloat16"`` stores the descriptor stacks in bf16:
         halves HBM per object (18.4 → 9.3 MB → ~1400 objects on one v5e)
         and halves the per-request gather traffic. Descriptors are
@@ -141,7 +142,14 @@ class PoseServer:
         ~0.4% relative; match sets can shift at threshold boundaries —
         opt-in, validated by test_bf16_catalog_close_to_fp32. The
         matcher still computes in fp32 (upcast after the gather);
-        keypoints3d stay fp32 (geometry)."""
+        keypoints3d stay fp32 (geometry).
+
+        ``uniform_fast_path=True`` lets single-object batches take the
+        broadcast fast path (``_serve_step_impl(uniform=True)``). Off by
+        default: the path saves only ~2% per batch (gather is
+        bandwidth-trivial, docs/DESIGN.md §11) but doubles serve-step
+        compilations — minutes per compile on a slow AOT toolchain —
+        the first time traffic mixes uniform and mixed batches."""
         if not object_dbs:
             raise ValueError("need at least one object DB")
         shapes = {db.keypoints3d.shape[0] for db in object_dbs.values()}
@@ -210,6 +218,7 @@ class PoseServer:
         self.reproj_threshold = reproj_threshold
         self.num_hypotheses = num_hypotheses
         self.refine_iters = refine_iters
+        self.uniform_fast_path = uniform_fast_path
         self.key = jax.random.PRNGKey(seed)
         # subclasses may swap in a re-jitted step (e.g. replicated
         # out_shardings for the multi-host server, parallel/serve_launch.py)
@@ -220,9 +229,12 @@ class PoseServer:
         self._worker: Optional[threading.Thread] = None
 
     # -- batch assembly / launch / fetch helpers -------------------------
-    def _assemble(self, requests: Sequence[PoseRequest], to_device: bool):
-        """Pad to the static batch size and (optionally) start the async
-        host→device upload. Returns (images, Ks, obj_idx, n_real)."""
+    def _encode_host(self, requests: Sequence[PoseRequest]):
+        """Pad a request list to the static batch size and stack HOST
+        arrays (images [B,H,W,1], Ks [B,3,3], obj_idx [B], n_real).
+        Shared by the local assembly path and the multi-host broadcast
+        payload (parallel/serve_launch.py) so batching semantics cannot
+        drift between the two."""
         n_real = len(requests)
         reqs = list(requests)
         while len(reqs) < self.batch_size:
@@ -233,10 +245,18 @@ class PoseServer:
         Ks = np.stack([np.asarray(r.K, np.float32) for r in reqs])
         obj_idx = np.asarray(
             [self.name_to_idx[r.object_name] for r in reqs], np.int32)
-        # single-object batches take the broadcast fast path (the mesh
-        # path keeps the gather: the obj row lives on one model shard)
+        return images, Ks, obj_idx, n_real
+
+    def _assemble(self, requests: Sequence[PoseRequest], to_device: bool):
+        """Pad to the static batch size and (optionally) start the async
+        host→device upload. Returns (images, Ks, obj_idx, n_real)."""
+        images, Ks, obj_idx, n_real = self._encode_host(requests)
+        # single-object batches may take the broadcast fast path (opt-in;
+        # the mesh path keeps the gather: the obj row lives on one model
+        # shard)
         uniform = bool(
-            self.mesh is None and (obj_idx == obj_idx[0]).all())
+            self.uniform_fast_path and self.mesh is None
+            and (obj_idx == obj_idx[0]).all())
         if to_device or self.mesh is not None:
             # device_put dispatches asynchronously: the transfer proceeds
             # while the caller keeps assembling/computing other batches.

@@ -13,7 +13,6 @@ Prints one JSON line {"serve_ms_per_batch8", "req_per_s", "catalog_mb",
 import json
 import os
 import sys
-import time
 
 import numpy as np
 
@@ -109,23 +108,14 @@ def main():
             uniform=args.uniform)
         return jnp.sum(out.poses)
 
+    from onepose_tpu.utils.chipbench import chain_blocks
+
     operands = (server.sp_params, server.gats_params, server.db_stack,
                 obj_idx, images, Ks, keys)
     t0 = _t.time()
-    np.asarray(f(jnp.float32(0.0), *operands))  # compile + warmup
-    print(f"[bench_serving] compiled+warm in {_t.time()-t0:.0f}s",
+    times = chain_blocks(f, operands, n_iters=20, blocks=6)
+    print(f"[bench_serving] compiled+ran in {_t.time()-t0:.0f}s",
           flush=True)
-
-    n, blocks = 20, 7  # 1 throwaway + 6 counted
-    times = []
-    for b in range(blocks):
-        t0 = time.perf_counter()
-        eps = jnp.float32(0.0)
-        for _ in range(n):
-            eps = f(eps, *operands)
-        np.asarray(eps)
-        if b > 0:
-            times.append((time.perf_counter() - t0) / n * 1000)
     ms = float(np.median(times))
     print(json.dumps({
         "serve_ms_per_batch8": round(ms, 2),

@@ -24,28 +24,12 @@ numbers; these are for comparing implementation variants of one stage.
 """
 import os
 import sys
-import time
 
 import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-
-def chain_time(f, operands, n=30, blocks=3):
-    """f: (scalar_eps, *operands) -> scalar, jitted. Returns best ms/call
-    over warm blocks (first block thrown away)."""
-    import jax.numpy as jnp
-
-    def block():
-        t0 = time.perf_counter()
-        o = jnp.float32(0.0)
-        for _ in range(n):
-            o = f(o, *operands)
-        np.asarray(o)
-        return (time.perf_counter() - t0) / n * 1000
-
-    block()  # throwaway: compile + hidden first-execution warmup
-    return min(block() for _ in range(blocks))
+from onepose_tpu.utils.chipbench import chain_time  # noqa: E402
 
 
 def main():

@@ -277,9 +277,11 @@ def test_full_catalog_81_objects_sharded(tmp_path):
 
 
 def test_uniform_batch_fast_path_matches_mixed_program():
-    """Single-object batches compile the broadcast fast path (DB gathered
-    once + CSE'd across the batch — measured 20.5 vs 31.9 ms/batch-8 at
-    protocol shapes); its results must be identical to the general
+    """Single-object batches may take the broadcast fast path (DB
+    gathered once + broadcast; opt-in via uniform_fast_path — it saves
+    only ~2% at protocol shapes, 23.96 vs 24.45 ms/batch-8 under the
+    honest r3 protocol, docs/DESIGN.md §11, while doubling serve-step
+    compilations); its results must be identical to the general
     mixed-object program on the same requests."""
     rng = np.random.default_rng(9)
     key = jax.random.PRNGKey(9)
@@ -290,7 +292,8 @@ def test_uniform_batch_fast_path_matches_mixed_program():
 
     server = serving.PoseServer(
         sp_params, gats_params, dbs, sp_config={"max_keypoints": 64},
-        batch_size=4, num_hypotheses=32, refine_iters=2, seed=3)
+        batch_size=4, num_hypotheses=32, refine_iters=2, seed=3,
+        uniform_fast_path=True)
 
     reqs_uniform = [
         serving.PoseRequest(
@@ -357,3 +360,50 @@ def test_bf16_catalog_close_to_fp32():
         # matches; inlier counts must stay in the same regime
         assert abs(a["num_inliers"] - b["num_inliers"]) <= max(
             3, 0.2 * a["num_inliers"])
+
+
+def test_serve_forever_propagates_frontend_errors():
+    """A frontend error on process 0 (unknown object name, bad image
+    shape, raising next_batch) must broadcast stop to the other
+    processes and re-raise — NOT leave them blocked in
+    broadcast_one_to_all (regression: the fleet wedged silently). The
+    single-process mesh exercises the identical code path."""
+    from onepose_tpu.parallel import mesh as pmesh, serve_launch
+
+    rng = np.random.default_rng(21)
+    key = jax.random.PRNGKey(21)
+    sp_params = superpoint.init_params(key)
+    gats_params = gats_spg.init_params(key)
+    dbs = {"objA": make_db(rng)}
+    K = np.array([[460.0, 0, 32], [0, 460.0, 32], [0, 0, 1]], np.float32)
+
+    mesh = pmesh.make_mesh(8, (2, 4))
+    server = serve_launch.MultiHostPoseServer(
+        sp_params, gats_params, dbs, sp_config={"max_keypoints": 64},
+        batch_size=4, num_hypotheses=32, refine_iters=2, seed=5,
+        mesh=mesh)
+
+    def bad_name_batch():
+        return [serving.PoseRequest(
+            "no_such_object", rng.uniform(0, 1, (64, 64)).astype(
+                np.float32), K)] * 4
+
+    with pytest.raises(KeyError):
+        serve_launch.serve_forever(server, (64, 64),
+                                   next_batch=bad_name_batch)
+
+    def bad_shape_batch():
+        return [serving.PoseRequest(
+            "objA", rng.uniform(0, 1, (32, 32)).astype(np.float32), K)] * 4
+
+    with pytest.raises(ValueError, match="image_shape"):
+        serve_launch.serve_forever(server, (64, 64),
+                                   next_batch=bad_shape_batch)
+
+    # ...and a clean stop still returns the served count.
+    batches = iter([[serving.PoseRequest(
+        "objA", rng.uniform(0, 1, (64, 64)).astype(np.float32), K)] * 4])
+    served = serve_launch.serve_forever(
+        server, (64, 64), next_batch=lambda: next(batches, None))
+    assert served == 1
+    jax.clear_caches()
