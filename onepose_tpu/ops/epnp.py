@@ -21,7 +21,7 @@ MXU/VPU.
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -693,7 +693,7 @@ def _sample_hypothesis_indices(key: jax.Array, mask: jnp.ndarray,
 @functools.partial(
     jax.jit,
     static_argnames=("num_hypotheses", "refine_iters", "sample_size",
-                     "lo_hypotheses", "lo_iters"),
+                     "lo_hypotheses", "lo_iters", "profile_prefix"),
 )
 def ransac_pnp(key: jax.Array, pts2d: jnp.ndarray, pts3d: jnp.ndarray,
                mask: jnp.ndarray, K: jnp.ndarray,
@@ -702,7 +702,8 @@ def ransac_pnp(key: jax.Array, pts2d: jnp.ndarray, pts3d: jnp.ndarray,
                sample_size: int = 6,
                refine_iters: int = 5,
                lo_hypotheses: int = 64,
-               lo_iters: int = 2) -> PnPResult:
+               lo_iters: int = 2,
+               profile_prefix: Optional[str] = None) -> PnPResult:
     """On-device LO-RANSAC PnP.
 
     pts2d: [N, 2] pixel coords; pts3d: [N, 3]; mask: [N] bool valid
@@ -721,6 +722,14 @@ def ransac_pnp(key: jax.Array, pts2d: jnp.ndarray, pts3d: jnp.ndarray,
     when only a handful of round-1 samples are clean. All shapes static;
     every stage is vmapped, the winner is an argmax.
 
+    ``profile_prefix`` (measurement-only, default None = full solve)
+    truncates the program after a named stage — "solve" (minimal-solver
+    hypotheses), "score" (+ MSAC scoring & top-K), "lo" (+ the LO
+    non-minimal round), "refit" (+ per-candidate refit chains) — and
+    returns the best-so-far pose in a normal PnPResult so
+    scripts/profile_pnp.py can time cumulative in-context prefixes
+    (docs/DESIGN.md §8 protocol). Never set it on a product path.
+
     NUMERICS: every matmul in here runs at true fp32 precision. TPU's
     default matmul precision rounds fp32 inputs to bf16 (~0.4% relative),
     which measurably corrupts the tiny geometric solves (quartic
@@ -731,12 +740,14 @@ def ransac_pnp(key: jax.Array, pts2d: jnp.ndarray, pts3d: jnp.ndarray,
     with jax.default_matmul_precision("float32"):
         return _ransac_pnp_body(
             key, pts2d, pts3d, mask, K, reproj_threshold, num_hypotheses,
-            sample_size, refine_iters, lo_hypotheses, lo_iters)
+            sample_size, refine_iters, lo_hypotheses, lo_iters,
+            profile_prefix)
 
 
 def _ransac_pnp_body(key, pts2d, pts3d, mask, K, reproj_threshold,
                      num_hypotheses, sample_size, refine_iters,
-                     lo_hypotheses, lo_iters) -> PnPResult:
+                     lo_hypotheses, lo_iters,
+                     profile_prefix=None) -> PnPResult:
     pts2d = pts2d.astype(jnp.float32)
     pts3d = pts3d.astype(jnp.float32)
     K = K.astype(jnp.float32)
@@ -753,21 +764,44 @@ def _ransac_pnp_body(key, pts2d, pts3d, mask, K, reproj_threshold,
     # MSAC truncated-quadratic score breaks consensus-count ties toward
     # the accurate pose — at 70% outliers a handful of true inliers must
     # beat accidental outlier consensus, and pure counts lose those ties.
+    # Sqrt-free: err_px < thr ⟺ err_px² < thr², and the MSAC term
+    # 1 - (err/thr)² only needs the square.
+    thr2 = reproj_threshold * reproj_threshold
+
     def score(pose):
         cam = lie.transform(pose, pts3d)
         z = cam[:, 2]
         proj = cam[:, :2] / jnp.maximum(jnp.abs(z), 1e-6)[:, None]
-        err_px = jnp.sqrt(
-            ((proj[:, 0] - uv_norm[:, 0]) * fx) ** 2
-            + ((proj[:, 1] - uv_norm[:, 1]) * fy) ** 2
-        )
-        good = (err_px < reproj_threshold) & (z > 0) & mask
-        r = err_px / reproj_threshold
-        msac = jnp.sum(jnp.where(good, 1.0 - r * r, 0.0))
+        err2 = (((proj[:, 0] - uv_norm[:, 0]) * fx) ** 2
+                + ((proj[:, 1] - uv_norm[:, 1]) * fy) ** 2)
+        good = (err2 < thr2) & (z > 0) & mask
+        msac = jnp.sum(jnp.where(good, 1.0 - err2 / thr2, 0.0))
         return good, jnp.sum(good), msac
 
     def msac_for(pose):
         return score(pose)[2]
+
+    # Scoring MANY poses via vmap(score) lowers to one [N,3]x[3,3] matmul
+    # per pose — ~2% MXU lane utilization — and was the largest PnP
+    # sub-stage (2.79 of 7.47 ms/batch-8, scripts/profile_pnp.py).
+    # Restructured: one homogeneous [N,4] x [4,H] matmul per camera-space
+    # coordinate puts all H hypotheses in the lane axis; everything after
+    # is elementwise on [N, H] with a sum reduction. Same scores.
+    pts_h = jnp.concatenate(
+        [pts3d, jnp.ones_like(pts3d[:, :1])], axis=1)          # [N, 4]
+
+    def score_many(poses):
+        rows = jnp.transpose(poses, (1, 2, 0))                  # [3, 4, H]
+        X = pts_h @ rows[0]                                     # [N, H]
+        Y = pts_h @ rows[1]
+        Z = pts_h @ rows[2]
+        az = jnp.maximum(jnp.abs(Z), 1e-6)
+        ex = (X / az - uv_norm[:, 0:1]) * fx
+        ey = (Y / az - uv_norm[:, 1:2]) * fy
+        err2 = ex * ex + ey * ey
+        good = (err2 < thr2) & (Z > 0) & mask[:, None]
+        return jnp.sum(jnp.where(good, 1.0 - err2 / thr2, 0.0),
+                       axis=0)                                  # [H]
 
     # --- round 1: minimal hypotheses from three solver families ---
     n_p3p = num_hypotheses // 2
@@ -790,10 +824,21 @@ def _ransac_pnp_body(key, pts2d, pts3d, mask, K, reproj_threshold,
         lambda si: p6p_dlt(pts3d[si], uv_norm[si], maskf[si]))(idx6)
     poses = jnp.concatenate([poses_p3p, poses_pl, poses_p6])  # [H', 3, 4]
 
-    _, _, msacs = jax.vmap(score)(poses)
+    def _prefix_result(pose):
+        inl, cnt, _ = score(pose)
+        return PnPResult(pose, inl, cnt.astype(jnp.int32),
+                         jnp.asarray(True))
+
+    if profile_prefix == "solve":
+        return _prefix_result(poses[0])
+
+    msacs = score_many(poses)
     top_k = 4
     _, top_idx = jax.lax.top_k(msacs, top_k)
     cands = poses[top_idx]                                   # [K, 3, 4]
+
+    if profile_prefix == "score":
+        return _prefix_result(cands[0])
 
     # --- round 2 (LO): non-minimal resampling from the consensus set ---
     if lo_hypotheses > 0:
@@ -803,9 +848,12 @@ def _ransac_pnp_body(key, pts2d, pts3d, mask, K, reproj_threshold,
             key_lo, lo_inl, lo_hypotheses, lo_size)
         poses_lo = jax.vmap(
             lambda si: p6p_dlt(pts3d[si], uv_norm[si], maskf[si]))(idx_lo)
-        _, _, msac_lo = jax.vmap(score)(poses_lo)
+        msac_lo = score_many(poses_lo)
         best_lo = poses_lo[jnp.argmax(msac_lo)]
         cands = jnp.concatenate([cands, best_lo[None]])
+
+    if profile_prefix == "lo":
+        return _prefix_result(cands[-1])
 
     # --- iterated refit chains on every candidate + GN polish ---
     # The best raw consensus is not always the true pose's; polishing the
@@ -838,8 +886,11 @@ def _ransac_pnp_body(key, pts2d, pts3d, mask, K, reproj_threshold,
         return pose
 
     refined = jax.vmap(refit_chain)(cands)
-    _, _, msac_ref = jax.vmap(score)(refined)
+    msac_ref = score_many(refined)
     pose_best = refined[jnp.argmax(msac_ref)]
+
+    if profile_prefix == "refit":
+        return _prefix_result(pose_best)
 
     # full-strength GN polish on the winner's inlier set (kept only if it
     # does not lose consensus — mirrors the per-candidate accept rule)
