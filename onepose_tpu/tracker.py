@@ -37,22 +37,70 @@ from onepose_tpu.utils.geometry import query_pose_error
 # recompile for every distinct match count, which dominates latency.
 # ---------------------------------------------------------------------------
 
+def _tri_two_view(uv0, uv1, P0, P1):
+    """Two-view DLT triangulation for every keyframe slot, TPU-shaped.
+
+    Inhomogeneous form: with X = [x, y, z, 1], the four row-normalized
+    DLT rows give a 3-unknown least-squares system solved by the analytic
+    3x3 inverse — no 4x4 ``jnp.linalg.eigh`` (whose QR while_loop would
+    serialize inside the fused step; docs/DESIGN.md §2). Points at
+    infinity (w≈0) are outside the tracker's depth gate anyway.
+
+    uv0/uv1: [N, 2] pixel obs; P0/P1: [3, 4] projection matrices
+    (K[R|t]). Returns (xyz [N, 3], err [N, 2] reproj px, z [N, 2]).
+    """
+    def rows(uv, P):
+        r0 = uv[:, 0:1] * P[2][None] - P[0][None]       # [N, 4]
+        r1 = uv[:, 1:2] * P[2][None] - P[1][None]
+        r0 = r0 / (jnp.linalg.norm(r0, axis=1, keepdims=True) + 1e-12)
+        r1 = r1 / (jnp.linalg.norm(r1, axis=1, keepdims=True) + 1e-12)
+        return r0, r1
+
+    a0, a1 = rows(uv0, P0)
+    b0, b1 = rows(uv1, P1)
+    A = jnp.stack([a0, a1, b0, b1], axis=1)             # [N, 4, 4]
+    M = A[:, :, :3]
+    rhs = -A[:, :, 3]
+    AtA = jnp.einsum("nri,nrj->nij", M, M,
+                     preferred_element_type=jnp.float32)
+    Atb = jnp.einsum("nri,nr->ni", M, rhs,
+                     preferred_element_type=jnp.float32)
+    AtA = AtA + 1e-10 * jnp.eye(3, dtype=AtA.dtype)
+    xyz = jnp.einsum("nij,nj->ni", jax.vmap(epnp._inv3)(AtA), Atb)
+
+    xyz_h = jnp.concatenate([xyz, jnp.ones_like(xyz[:, :1])], axis=1)
+    proj0 = xyz_h @ P0.T                                # [N, 3]
+    proj1 = xyz_h @ P1.T
+    z = jnp.stack([proj0[:, 2], proj1[:, 2]], axis=1)
+    zs = jnp.where(jnp.abs(z) < 1e-12, 1e-12, z)
+    e0 = jnp.linalg.norm(proj0[:, :2] / zs[:, 0:1] - uv0, axis=1)
+    e1 = jnp.linalg.norm(proj1[:, :2] / zs[:, 1:2] - uv1, axis=1)
+    return xyz, jnp.stack([e0, e1], axis=1), z
+
+
 @functools.partial(jax.jit, static_argnames=("num_hypotheses",
                                              "gate_scale"))
 def _track_step(kf_img, q_img, kf_kpts, kf_desc, kf_mask, kf_src_ok,
                 kf_pts3d, q_kpts, q_desc, q_mask, pose_motion, has_motion,
-                K, key, num_hypotheses, gate_scale):
+                K, kf_P, key, num_hypotheses, gate_scale):
     """The whole per-frame compute — LK flow → flow-PnP → flow-vs-motion
-    fallback → descriptor association → reprojection gating → PnP — in
-    ONE dispatch with one host sync.
+    fallback → descriptor association → reprojection gating → PnP →
+    two-view triangulation of newly observed points — in ONE dispatch
+    with one host sync.
 
     kf_src_ok: [Kf] keyframe slots that carry a 3D id; kf_pts3d their 3D
     points (garbage where ~kf_src_ok). pose_motion/has_motion: the
     constant-velocity fallback (identity + False when no history).
+    kf_P: [3, 4] the keyframe's K @ pose projection matrix (for the
+    fused triangulation of unassigned KF↔query matches — previously a
+    separate dispatch+fetch round trip per tracked frame).
     Returns (pose, m0 [Kf]→query, keep [Kq] gated assignment mask,
-    n_keep, pnp_inliers, used_pnp, flow_ok, flow_inliers, have_init).
+    n_keep, pnp_inliers, used_pnp, flow_ok, flow_inliers, have_init,
+    tri_xyz [Kf, 3], tri_good [Kf]).
     Semantics match the previous two-kernel host flow (median*scale
-    gate, floor 3 px, stages skipped below 8 correspondences)."""
+    gate, floor 3 px, stages skipped below 8 correspondences; the
+    reference's triangulation culling err<3px, 0.01<z<10,
+    ba_tracker.py:546-584)."""
     key_flow, key_pnp = jax.random.split(key)
 
     # pose init: LK flow + PnP on the flowed 2D ↔ known 3D, falling back
@@ -93,8 +141,22 @@ def _track_step(kf_img, q_img, kf_kpts, kf_desc, kf_mask, kf_src_ok,
     n_keep = jnp.sum(keep)
     used_pnp = pnp.success & (n_keep >= 8)
     pose = jnp.where(used_pnp, pnp.pose, pose_init)
+
+    # Two-view DLT for KF↔query matches without a 3D id, using the SAME
+    # pose the host previously fetched and fed back (one round trip
+    # saved). Tiny geometric matmuls → pin fp32 (DESIGN §7b lesson).
+    with jax.default_matmul_precision("float32"):
+        new_ok = (m0 >= 0) & (~kf_src_ok) & kf_mask
+        m0_safe = jnp.clip(m0, 0, nq - 1)
+        uv_q = q_kpts[m0_safe]
+        tri_xyz, tri_err, tri_z = _tri_two_view(
+            kf_kpts, uv_q, kf_P, K @ pose)
+    tri_good = (new_ok
+                & (jnp.max(tri_err, axis=1) < 3.0)
+                & (jnp.min(tri_z, axis=1) > 0.01)
+                & (jnp.max(tri_z, axis=1) < 10.0))
     return (pose, m0, keep, n_keep, pnp.num_inliers, used_pnp,
-            flow_ok, fpnp.num_inliers, have_init)
+            flow_ok, fpnp.num_inliers, have_init, tri_xyz, tri_good)
 
 
 @functools.partial(jax.jit, static_argnames=("it1", "it2", "refine_points"))
@@ -241,9 +303,10 @@ class BATracker:
         q_desc_dev = jnp.asarray(descriptors, jnp.float32)
         q_mask_dev = jnp.asarray(kpt_mask, bool)
 
-        # Flow + motion fallback + association + gating + PnP: one fused
-        # static-shape dispatch, one host sync (the reference runs these
-        # as separate host stages, ba_tracker.py:468-725).
+        # Flow + motion fallback + association + gating + PnP + two-view
+        # triangulation: one fused static-shape dispatch, one host sync
+        # (the reference runs these as separate host stages,
+        # ba_tracker.py:468-725).
         kf = self.frames[-1]
         kf_has3d = (kf.point_ids >= 0) & kf.kpt_mask
         motion = self.motion_prediction()
@@ -251,13 +314,15 @@ class BATracker:
         if motion is None:
             motion = np.eye(3, 4, dtype=np.float32)
         (pose, m0, keep, n_keep, pnp_inl, used_pnp, flow_ok, flow_inl,
-         have_init) = jax.tree.map(np.asarray, _track_step(
+         have_init, tri_xyz, tri_good) = jax.tree.map(np.asarray, _track_step(
             kf.image_dev, q_img_dev, kf.keypoints_dev, kf.descriptors_dev,
             kf.kpt_mask_dev, jnp.asarray(kf_has3d),
             jnp.asarray(self.points3d[np.clip(kf.point_ids, 0, None)]),
             q_kpts_dev, q_desc_dev, q_mask_dev,
             jnp.asarray(motion), bool(has_motion),
-            jnp.asarray(K, jnp.float32), self._next_key(),
+            jnp.asarray(K, jnp.float32),
+            jnp.asarray((kf.K @ kf.pose).astype(np.float32)),
+            self._next_key(),
             self.pnp_hypotheses, self.reproj_gate_scale))
         if bool(flow_ok):
             info["mode"] = "flow"
@@ -277,11 +342,19 @@ class BATracker:
         if bool(used_pnp):
             info["pnp_inliers"] = int(pnp_inl)
 
-        # Triangulate new points from unassigned KF↔query matches.
+        # Register the fused step's triangulated points (unassigned
+        # KF↔query matches that survived the reproj/depth culling).
         new_src = np.where(matched & ~kf_has3d & kf.kpt_mask)[0]
-        if len(new_src) >= 4:
-            self._triangulate_new(
-                kf, keypoints, m0, new_src, pose_init, K, point_ids)
+        good_src = np.where(tri_good)[0]
+        if len(new_src) >= 4 and len(good_src) > 0:
+            start = len(self.points3d)
+            self.points3d = np.concatenate(
+                [self.points3d, tri_xyz[good_src].astype(np.float32)])
+            self.point_fixed = np.concatenate(
+                [self.point_fixed, np.zeros(len(good_src), bool)])
+            new_ids = start + np.arange(len(good_src))
+            kf.point_ids[good_src] = new_ids
+            point_ids[m0[good_src]] = new_ids
 
         query_frame = Frame(
             image=np.asarray(query_image, np.float32),
@@ -301,45 +374,6 @@ class BATracker:
         info["num_tracked"] = int((point_ids >= 0).sum())
         self.frame_id += 1
         return pose, info
-
-    # ------------------------------------------------------------------
-    def _triangulate_new(self, kf, q_kpts, m0, new_src, q_pose, K,
-                         point_ids):
-        """Two-view DLT for KF↔query matches without 3D, with
-        reprojection/depth culling (ba_tracker.py:546-584)."""
-        from onepose_tpu.sfm.triangulate import _triangulate_batch_host
-
-        # One fixed batch size — the keyframe's keypoint budget, which
-        # bounds len(new_src) — so the triangulator compiles exactly once
-        # (per-bucket compiles dominated the first tracked frames'
-        # latency) and nothing is ever dropped.
-        n_pad = len(kf.point_ids)
-        n = len(new_src)
-        uvs = np.zeros((n_pad, 2, 2), np.float32)
-        uvs[:n, 0] = kf.keypoints[new_src]
-        uvs[:n, 1] = q_kpts[m0[new_src]]
-        Ps = np.zeros((n_pad, 2, 3, 4), np.float32)
-        Ps[:, 0] = (kf.K @ kf.pose).astype(np.float32)
-        Ps[:, 1] = (np.asarray(K) @ q_pose[:3, :4]).astype(np.float32)
-        mask = np.zeros((n_pad, 2), bool)
-        mask[:n] = True
-        xyz, err, z = _triangulate_batch_host(
-            jnp.asarray(uvs), jnp.asarray(Ps), jnp.asarray(mask))
-        xyz = np.asarray(xyz)[:n]
-        err, z = np.asarray(err)[:n], np.asarray(z)[:n]
-        good = (err.max(axis=1) < 3.0) & (z.min(axis=1) > 0.01) \
-            & (z.max(axis=1) < 10.0)
-        if good.sum() == 0:
-            return
-        start = len(self.points3d)
-        self.points3d = np.concatenate(
-            [self.points3d, xyz[good].astype(np.float32)])
-        self.point_fixed = np.concatenate(
-            [self.point_fixed, np.zeros(int(good.sum()), bool)])
-        new_ids = start + np.arange(int(good.sum()))
-        good_src = new_src[good]
-        kf.point_ids[good_src] = new_ids
-        point_ids[m0[good_src]] = new_ids
 
     def _prune_window(self):
         if len(self.frames) > self.win_size:

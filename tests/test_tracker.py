@@ -241,9 +241,35 @@ def test_track_step_unmatched_sentinel_drops():
         jnp.asarray(rng.normal(size=(nk, 3)).astype(np.float32)),
         jnp.asarray(q_kpts), jnp.asarray(q_desc), jnp.ones(nq, bool),
         jnp.asarray(pose_id), jnp.asarray(True), jnp.asarray(K),
-        __import__("jax").random.PRNGKey(0),
+        jnp.asarray(K @ pose_id), __import__("jax").random.PRNGKey(0),
         num_hypotheses=32, gate_scale=1.2)
     _, m0, keep, n_keep, *_ = out
     assert int(jnp.sum(m0 >= 0)) == 0          # no mutual matches
     assert int(n_keep) == 0                     # nothing assigned...
     assert not bool(keep[nq - 1])               # ...especially not slot nq-1
+
+
+def test_tri_two_view_exact_recovery():
+    """The fused two-view DLT must recover noise-free 3D points exactly
+    and report near-zero reprojection error / correct depths."""
+    import jax.numpy as jnp
+    from onepose_tpu import tracker as trk
+
+    rng = np.random.default_rng(3)
+    n = 32
+    pts3d = rng.uniform(-0.15, 0.15, (n, 3)).astype(np.float32)
+    K = np.array([[300.0, 0, 160], [0, 300.0, 160], [0, 0, 1]], np.float32)
+    R0 = geo.rodrigues([0.2, 0.0, 0.0])
+    R1 = geo.rodrigues([0.35, 0.12, 0.02])
+    pose0 = np.concatenate([R0, [[0.0], [0.0], [0.5]]], axis=1)
+    pose1 = np.concatenate([R1, [[0.02], [-0.01], [0.52]]], axis=1)
+    uv0 = geo.project_points(pts3d, K, pose0).astype(np.float32)
+    uv1 = geo.project_points(pts3d, K, pose1).astype(np.float32)
+
+    xyz, err, z = trk._tri_two_view(
+        jnp.asarray(uv0), jnp.asarray(uv1),
+        jnp.asarray((K @ pose0).astype(np.float32)),
+        jnp.asarray((K @ pose1).astype(np.float32)))
+    assert np.abs(np.asarray(xyz) - pts3d).max() < 2e-3
+    assert np.asarray(err).max() < 0.1
+    assert (np.asarray(z) > 0.2).all()
