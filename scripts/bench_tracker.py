@@ -1,0 +1,129 @@
+#!/usr/bin/env python
+"""Per-frame BATracker latency on the real chip.
+
+The tracker's per-frame cost is TWO fused dispatches (track step with
+flow/association/PnP/triangulation, then the windowed-BA solve), each
+with one host fetch — docs/DESIGN.md §10b. This measures the warm
+steady-state wall latency of `BATracker.track()` on a synthetic
+textured-plane sequence at demo shapes (512x512 crop, 512 keypoint
+slots, 256-d descriptors) so the round-trip count claim is a
+measurement, not an extrapolation.
+
+Prints one JSON line {"track_ms_median", "track_ms_p90", "frames",
+"r_err_deg_max", "t_err_cm_max"}.
+"""
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def make_sequence(rng, n_frames, n_points=400, hw=512, desc_dim=256):
+    """Textured plane z=0 viewed under a slowly moving camera; images are
+    exact homography warps so LK flow sees real, consistent content
+    (pattern: tests/test_tracker.py::make_plane_sequence)."""
+    import cv2
+
+    from onepose_tpu.utils import geometry as geo
+
+    K = np.array([[460.0, 0, hw / 2], [0, 460.0, hw / 2], [0, 0, 1]])
+    tex_res = 640
+    tex = cv2.resize(
+        rng.uniform(0, 1, (80, 80)).astype(np.float32),
+        (tex_res, tex_res), interpolation=cv2.INTER_CUBIC)
+    scale = tex_res / 0.4
+    T_plane = np.array([[scale, 0, 0.2 * scale],
+                        [0, scale, 0.2 * scale],
+                        [0, 0, 1]])
+    pts3d = np.concatenate([
+        rng.uniform(-0.15, 0.15, (n_points, 2)),
+        np.zeros((n_points, 1))], axis=1)
+    descs = rng.normal(size=(n_points, desc_dim)).astype(np.float32)
+
+    frames = []
+    for i in range(n_frames):
+        R = geo.rodrigues([0.25 + 0.02 * i, 0.03 * i, 0.01 * i])
+        t = np.array([0.004 * i, -0.002 * i, 0.5])
+        pose = np.concatenate([R, t[:, None]], axis=1)
+        H_img = K @ np.stack([R[:, 0], R[:, 1], t], axis=1)
+        H = H_img @ np.linalg.inv(T_plane)
+        img = cv2.warpPerspective(tex, H.astype(np.float32), (hw, hw))
+        uv = geo.project_points(pts3d, K, pose)
+        frames.append({
+            "image": img,
+            "pose": pose,
+            "keypoints": (uv + rng.normal(size=uv.shape) * 0.3
+                          ).astype(np.float32),
+            "descriptors": descs + 0.02 * rng.normal(
+                size=descs.shape).astype(np.float32),
+        })
+    return K, pts3d, frames
+
+
+def main():
+    from onepose_tpu.tracker import BATracker
+    from onepose_tpu.utils import geometry as geo
+
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--frames", type=int, default=24)
+    ap.add_argument("--warmup", type=int, default=6,
+                    help="tracked frames excluded from timing (compiles)")
+    args = ap.parse_args()
+
+    rng = np.random.default_rng(0)
+    n_slots = 512
+    K, pts3d, frames = make_sequence(rng, args.frames + 1)
+    n = len(pts3d)
+
+    # pad keypoints to a static slot budget (the demo path's shape
+    # contract; the tracker never retraces across frames then)
+    def padded(fr):
+        kp = np.zeros((n_slots, 2), np.float32)
+        ds = np.zeros((n_slots, frames[0]["descriptors"].shape[1]),
+                      np.float32)
+        mask = np.zeros(n_slots, bool)
+        kp[:n] = fr["keypoints"]
+        ds[:n] = fr["descriptors"]
+        mask[:n] = True
+        return kp, ds, mask
+
+    tracker = BATracker(win_size=10, pnp_hypotheses=256, ba_iterations=8)
+    kp, ds, mask = padded(frames[0])
+    kpt_idx = np.arange(n)
+    assert tracker.add_keyframe(frames[0]["image"], kp, ds, mask,
+                                frames[0]["pose"], K,
+                                mkpts3d=pts3d, kpt_indices=kpt_idx)
+
+    times_ms, r_errs, t_errs = [], [], []
+    for i in range(1, args.frames + 1):
+        kp, ds, mask = padded(frames[i])
+        t0 = time.perf_counter()
+        pose, info = tracker.track(frames[i]["image"], kp, ds, mask, K)
+        dt = (time.perf_counter() - t0) * 1000.0
+        assert pose is not None, (i, info)
+        r_err, t_err = geo.query_pose_error(pose, frames[i]["pose"])
+        r_errs.append(r_err)
+        t_errs.append(t_err)
+        if i > args.warmup:
+            times_ms.append(dt)
+        print(f"[bench_tracker] frame {i:02d}: {dt:7.1f} ms  "
+              f"mode={info['mode']} tracked={info.get('num_tracked')} "
+              f"r={r_err:.2f}deg t={t_err:.2f}cm", flush=True)
+
+    print(json.dumps({
+        "track_ms_median": round(float(np.median(times_ms)), 1),
+        "track_ms_p90": round(float(np.percentile(times_ms, 90)), 1),
+        "frames": len(times_ms),
+        "r_err_deg_max": round(float(np.max(r_errs)), 2),
+        "t_err_cm_max": round(float(np.max(t_errs)), 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -14,9 +14,14 @@ sys.path.insert(0, __file__.rsplit("/", 2)[0])
 import __graft_entry__ as graft  # noqa: E402
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_in_process():
     # conftest provisions 8 virtual CPU devices, so this takes the
-    # in-process path.
+    # in-process path. Slow-marked: since the r3 promotion to a
+    # protocol-shape correctness proof this compiles the full train step
+    # and fused pipeline twice (~10 min on this 1-core box); the driver
+    # runs the same proof every round via MULTICHIP, so the fast gate
+    # does not need to repeat it.
     graft.dryrun_multichip(8)
 
 

@@ -213,6 +213,55 @@ def test_track_static_shapes_no_retrace():
     assert trk._track_step._cache_size() - step0 <= 1
 
 
+@pytest.mark.slow
+def test_fused_triangulation_registers_new_points():
+    """A keyframe whose keypoints only PARTIALLY carry 3D ids must grow
+    the map through the fused step's two-view triangulation: the
+    unassigned KF↔query matches get DLT'd in-dispatch, survive the
+    reproj/depth culling, and are registered as free (BA-refinable)
+    points visible to the next window solve."""
+    rng = np.random.default_rng(7)
+    K, pts3d, frames = make_plane_sequence(rng, n_frames=3, n_points=60)
+    n = len(pts3d)
+    n_known = n // 2
+
+    tracker = BATracker(win_size=4, pnp_hypotheses=128, ba_iterations=4)
+    assert tracker.add_keyframe(
+        frames[0]["image"], frames[0]["keypoints"],
+        frames[0]["descriptors"], np.ones(n, bool), frames[0]["pose"], K,
+        mkpts3d=pts3d[:n_known], kpt_indices=np.arange(n_known))
+    assert len(tracker.points3d) == n_known
+
+    pose, info = tracker.track(
+        frames[1]["image"], frames[1]["keypoints"],
+        frames[1]["descriptors"], np.ones(n, bool), K)
+    assert pose is not None, info
+    n_new = len(tracker.points3d) - n_known
+    assert n_new > 10, "triangulation registered too few new points"
+    # new points are free (refinable), DB points stay fixed
+    assert tracker.point_fixed[:n_known].all()
+    assert not tracker.point_fixed[n_known:].any()
+    # triangulated coords must be near the true plane points: the ids
+    # registered on the keyframe identify which ground-truth point each
+    # new map point corresponds to
+    kf = tracker.frames[0]
+    src = np.where(kf.point_ids >= n_known)[0]
+    assert len(src) == n_new
+    # bound is set by the 0.3 px keypoint noise amplified by the small
+    # frame0→frame1 baseline (~3 cm at 0.5 m depth), not by the solver
+    err = np.abs(tracker.points3d[kf.point_ids[src]] - pts3d[src])
+    assert err.max() < 0.05, err.max()
+    assert np.median(err) < 0.01, np.median(err)
+    # the next tracked frame must associate against the grown map
+    pose2, info2 = tracker.track(
+        frames[2]["image"], frames[2]["keypoints"],
+        frames[2]["descriptors"], np.ones(n, bool), K)
+    assert pose2 is not None
+    assert info2["num_tracked"] > n_known, info2
+    r_err, t_err = geo.query_pose_error(pose2, frames[2]["pose"])
+    assert r_err < 1.5 and t_err < 1.5, (r_err, t_err)
+
+
 def test_track_step_unmatched_sentinel_drops():
     """Regression: invalid keyframe slots must scatter NOWHERE. A -1
     sentinel wraps to query slot nq-1 under mode="drop" (JAX normalizes
