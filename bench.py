@@ -21,10 +21,33 @@ runs of the same binary — BASELINE.md), and the per-stage ms make any
 round-over-round delta attributable to a specific stage.
 """
 import json
+import os
 
 import numpy as np
 
 REF_CPU_FPS = 0.625  # measured reference baseline (BASELINE.md)
+
+# Measurement protocol identifier. Bump whenever the timing methodology
+# changes (r3: single-dispatch chained blocks + cumulative-prefix stage
+# attribution — DESIGN.md §8). Numbers across different protocol strings
+# are NOT comparable; this stamp makes that machine-readable after the
+# r2→r3 protocol break confused the cross-round series (VERDICT r3 §Weak 2).
+PROTOCOL = "r3-single-dispatch"
+
+# bench.py numbers are only valid on an otherwise-idle box: this host has
+# ONE CPU core and a loaded box starves the dispatch loop (measured 256
+# "fps" under load vs 390 quiet with identical on-chip stage timings —
+# TODO.md BENCH NOTE). Flag it in the JSON instead of silently reporting
+# a host-bound number.
+LOADAVG_IDLE_MAX = 0.5
+
+
+def host_load() -> float:
+    try:
+        with open("/proc/loadavg") as f:
+            return float(f.read().split()[0])
+    except (OSError, ValueError, IndexError):
+        return -1.0
 
 BATCH = 8
 H = W = 512
@@ -44,6 +67,19 @@ PEAK_FLOPS = {
 
 
 def main():
+    load1 = host_load()
+    if load1 > LOADAVG_IDLE_MAX and not os.environ.get("BENCH_IGNORE_LOAD"):
+        import sys
+        import time
+        # Give transient load (e.g. a just-finished test run) one chance
+        # to drain before refusing to produce a misleading number.
+        print(f"bench.py: 1-min loadavg {load1:.2f} > {LOADAVG_IDLE_MAX} "
+              "on a 1-core host; waiting 60s for it to drain "
+              "(set BENCH_IGNORE_LOAD=1 to measure anyway)...",
+              file=sys.stderr)
+        time.sleep(60)
+        load1 = host_load()
+
     import jax
     import jax.numpy as jnp
 
@@ -185,6 +221,9 @@ def main():
         "stages": stages,
         "mfu": round(mfu, 4) if mfu is not None else None,
         "tflops_per_sec": round(tflops, 2) if tflops is not None else None,
+        "protocol": PROTOCOL,
+        "loadavg_1min": round(load1, 2),
+        "host_idle": bool(0.0 <= load1 <= LOADAVG_IDLE_MAX),
     }))
 
 

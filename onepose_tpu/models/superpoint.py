@@ -55,6 +55,14 @@ DEFAULT_CONFIG = {
     # inflation of the zero-padded block kernel, because MXU utilization
     # rises 3x and the pool/layout fuse downstream. See docs/DESIGN.md §6b.
     "stem": "polyphase",
+    # True routes keypoint selection through _nms_aware_top_k's two-stage
+    # row-chunked top-k (2.34 vs 4.10 ms/batch-8 standalone at 512x512/
+    # k=1024 on v5e). Ships False: exactly-tied score plateaus can exceed
+    # the per-chunk candidate bound and drop real survivors (see the
+    # _nms_aware_top_k docstring), and in-pipeline the flat top_k is
+    # perf-neutral at protocol shapes because XLA overlaps it. Enable only
+    # for tie-free score maps at much larger image sizes.
+    "two_stage_topk": False,
 }
 
 _ENCODER_CHANNELS = [

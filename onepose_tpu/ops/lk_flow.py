@@ -27,6 +27,8 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+from onepose_tpu.ops.precision import pin_fp32
+
 
 class FlowResult(NamedTuple):
     points: jnp.ndarray   # [N, 2] tracked positions in im1
@@ -170,6 +172,7 @@ def _lk_level(im0, im1, pts0, guess, win: int, iters: int, eps: float,
 
 @functools.partial(
     jax.jit, static_argnames=("win", "levels", "iters", "margin"))
+@pin_fp32
 def pyramid_lk(im0: jnp.ndarray, im1: jnp.ndarray, pts: jnp.ndarray,
                win: int = 15, levels: int = 3, iters: int = 10,
                eps: float = 0.03, min_eig: float = 1e-4,

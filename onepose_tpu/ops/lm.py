@@ -26,6 +26,7 @@ import jax
 import jax.numpy as jnp
 
 from onepose_tpu.ops import lie
+from onepose_tpu.ops.precision import pin_fp32
 
 
 class BAProblem(NamedTuple):
@@ -110,6 +111,7 @@ class BAResult(NamedTuple):
     static_argnames=("iterations", "fix_cameras", "fix_points",
                      "fix_first_camera"),
 )
+@pin_fp32
 def solve_ba(problem: BAProblem, iterations: int = 10,
              init_lambda: float = 1e-3,
              fix_cameras: bool = False, fix_points: bool = False,

@@ -17,6 +17,8 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+from onepose_tpu.ops.precision import pin_fp32
+
 
 class SimilarityResult(NamedTuple):
     A: jnp.ndarray            # [2, 2] rotation-scale
@@ -55,6 +57,7 @@ def _solve_weighted(p: jnp.ndarray, q: jnp.ndarray, w: jnp.ndarray):
 
 
 @functools.partial(jax.jit, static_argnames=("num_hypotheses",))
+@pin_fp32
 def ransac_similarity(key: jax.Array, src: jnp.ndarray, dst: jnp.ndarray,
                       mask: jnp.ndarray, threshold: float = 6.0,
                       num_hypotheses: int = 256) -> SimilarityResult:

@@ -240,7 +240,9 @@ def _triangulate_batch_host(uvs, Ps, mask):
     if _triangulate_batch_jit is None:
         import jax
 
-        _triangulate_batch_jit = jax.jit(_triangulate_batch)
+        from onepose_tpu.ops.precision import pin_fp32
+
+        _triangulate_batch_jit = jax.jit(pin_fp32(_triangulate_batch))
     return _triangulate_batch_jit(uvs, Ps, mask)
 
 

@@ -216,3 +216,43 @@ def match_classification_labels(matches0, kpt_mask, kpts2d, gt_proj,
 
 
 MATCH_CLASS_NAMES = ("unmatched", "match_correct", "match_wrong")
+
+
+def unfreeze_after(wait_steps: int, frozen_mask) -> "optax.GradientTransformation":  # noqa: F821
+    """Freeze part of the model for the first ``wait_steps`` optimizer steps.
+
+    Role of the reference's UnfreezeModelCallback
+    (/root/reference/src/callbacks/custom_callbacks.py:18-29 — flips
+    ``requires_grad`` on every parameter after ``wait_epochs``). JAX has no
+    requires_grad; the idiomatic equivalent is an optax transformation that
+    zeroes the *updates* of frozen leaves until the step counter passes the
+    threshold — jit-stable (the gate is a traced ``where``, no retrace at
+    the unfreeze boundary) and composable anywhere in the optimizer chain:
+
+        tx = optax.chain(trainer.make_optimizer(...),
+                         callbacks.unfreeze_after(5 * steps_per_epoch, mask))
+
+    ``frozen_mask``: a pytree prefix of the params with True at leaves to
+    freeze, or a callable(params)->mask pytree (optax.masked convention).
+    Callers convert epochs → steps, as with multistep_schedule.
+    """
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    def init(params):
+        del params
+        return optax.ScaleByScheduleState(count=jnp.zeros([], jnp.int32))
+
+    def update(updates, state, params=None):
+        del params
+        mask = frozen_mask(updates) if callable(frozen_mask) else frozen_mask
+        live = state.count >= wait_steps
+        new = jax.tree.map(
+            lambda u, m: jnp.where(
+                jnp.logical_or(live, jnp.logical_not(m)), u,
+                jnp.zeros_like(u)),
+            updates, mask)
+        return new, optax.ScaleByScheduleState(count=state.count + 1)
+
+    return optax.GradientTransformation(init, update)

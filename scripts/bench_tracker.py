@@ -75,6 +75,9 @@ def main():
     ap.add_argument("--warmup", type=int, default=6,
                     help="tracked frames excluded from timing (compiles)")
     args = ap.parse_args()
+    if args.warmup >= args.frames:
+        ap.error(f"--warmup ({args.warmup}) must be < --frames "
+                 f"({args.frames}): no timed frames would remain")
 
     rng = np.random.default_rng(0)
     n_slots = 512
@@ -96,9 +99,10 @@ def main():
     tracker = BATracker(win_size=10, pnp_hypotheses=256, ba_iterations=8)
     kp, ds, mask = padded(frames[0])
     kpt_idx = np.arange(n)
-    assert tracker.add_keyframe(frames[0]["image"], kp, ds, mask,
+    if not tracker.add_keyframe(frames[0]["image"], kp, ds, mask,
                                 frames[0]["pose"], K,
-                                mkpts3d=pts3d, kpt_indices=kpt_idx)
+                                mkpts3d=pts3d, kpt_indices=kpt_idx):
+        raise SystemExit("bench_tracker: initial add_keyframe failed")
 
     times_ms, r_errs, t_errs = [], [], []
     for i in range(1, args.frames + 1):
@@ -106,7 +110,10 @@ def main():
         t0 = time.perf_counter()
         pose, info = tracker.track(frames[i]["image"], kp, ds, mask, K)
         dt = (time.perf_counter() - t0) * 1000.0
-        assert pose is not None, (i, info)
+        if pose is None:
+            raise SystemExit(
+                f"bench_tracker: track() lost the object at frame {i} "
+                f"({info}) — latency numbers would be meaningless")
         r_err, t_err = geo.query_pose_error(pose, frames[i]["pose"])
         r_errs.append(r_err)
         t_errs.append(t_err)

@@ -229,3 +229,32 @@ def test_model_watcher():
     w.step(1, params)
     w.step(2, params)
     assert len(logged) == 1 and logged[0][0] == 2
+
+
+def test_unfreeze_after():
+    """unfreeze_after zeroes frozen-leaf updates until the step threshold,
+    then passes them through (UnfreezeModelCallback role)."""
+    import jax.numpy as jnp
+    import optax
+
+    from onepose_tpu.train import callbacks
+
+    params = {"frozen": jnp.ones(3), "live": jnp.ones(2)}
+    mask = {"frozen": True, "live": False}
+    tx = optax.chain(optax.sgd(1.0), callbacks.unfreeze_after(2, mask))
+    state = tx.init(params)
+    grads = {"frozen": jnp.full(3, 0.5), "live": jnp.full(2, 0.5)}
+
+    p = params
+    for step in range(4):
+        updates, state = tx.update(grads, state, p)
+        p = optax.apply_updates(p, updates)
+        if step < 2:
+            np.testing.assert_array_equal(np.asarray(p["frozen"]),
+                                          np.ones(3))
+        else:
+            assert float(p["frozen"][0]) < 1.0
+    # live leaf trained from step 0: 4 sgd steps of -0.5 each
+    np.testing.assert_allclose(np.asarray(p["live"]), np.ones(2) - 2.0)
+    # frozen leaf trained only for the last 2 steps
+    np.testing.assert_allclose(np.asarray(p["frozen"]), np.ones(3) - 1.0)

@@ -1,0 +1,145 @@
+"""Model-axis sharding evidence beyond mp=2 (VERDICT r3 Weak #5).
+
+The driver's ``dryrun_multichip`` proves dp×mp correctness at mp=2 only.
+These tests widen the evidence on the virtual 8-device CPU mesh:
+
+- a FAST tiny-shape smoke at mp=4 (mesh (2, 4)): the dryrun sharding
+  layout compiles, runs a train step, and its grads equal the
+  single-device grads — the cheap driver-contract canary ADVICE r3
+  asked for (the protocol-shape proof stays slow-marked / MULTICHIP);
+- a slow protocol-width test: the GATsSPG matcher with the 3D-token
+  axis sharded 4 ways at shape3d=4096 (the "larger point budget"
+  configuration TODO.md names for the Pallas matcher) matches the
+  single-device forward bit-for-bit on matches and within fp32
+  reduction tolerance on scores.
+"""
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from onepose_tpu.models import gats_spg
+from onepose_tpu.parallel import mesh as pmesh
+from onepose_tpu.train import trainer
+
+
+def _train_batch(rng, b, n1, n2, leaf, d=256):
+    return {
+        "descriptors2d_query": rng.normal(
+            size=(b, n1, d)).astype(np.float32),
+        "descriptors3d_db": rng.normal(size=(b, n2, d)).astype(np.float32),
+        "descriptors2d_db": rng.normal(
+            size=(b, n2 * leaf, d)).astype(np.float32),
+        "conf_gt": (rng.uniform(size=(b, n1, n2)) < 0.01).astype(np.int32),
+    }
+
+
+_BATCH_SPECS = {
+    "descriptors2d_query": P("data", None, None),
+    "descriptors3d_db": P("data", "model", None),
+    "descriptors2d_db": P("data", "model", None),
+    "conf_gt": P("data", None, "model"),
+}
+
+
+def test_train_step_mp4_smoke_tiny_shapes():
+    """mp=4 dryrun-layout smoke: one sharded train step at tiny shapes,
+    grads equal single-device. Fast-gate member (no protocol-shape
+    compile)."""
+    mesh = pmesh.make_mesh(8, (2, 4))
+    cfg = {"num_blocks": 1}
+    tx = trainer.make_optimizer(base_lr=1e-3, milestones_steps=[100],
+                                grad_clip=0.5)
+    step = trainer.make_train_step(tx, cfg)
+
+    rng = np.random.default_rng(0)
+    batch = _train_batch(rng, b=4, n1=64, n2=128, leaf=4)
+    sharded = {
+        k: jax.device_put(jnp.asarray(v),
+                          NamedSharding(mesh, _BATCH_SPECS[k]))
+        for k, v in batch.items()
+    }
+    single = {k: jnp.asarray(v) for k, v in batch.items()}
+
+    full_cfg = dict(gats_spg.DEFAULT_CONFIG)
+    full_cfg.update(cfg)
+    grad_fn = jax.jit(jax.grad(
+        functools.partial(trainer.compute_loss, gats_config=full_cfg)))
+    state_m = pmesh.replicate(
+        mesh, trainer.init_train_state(jax.random.PRNGKey(0), tx, cfg))
+    state_s = trainer.init_train_state(jax.random.PRNGKey(0), tx, cfg)
+
+    g_m = grad_fn(state_m.params, batch=sharded)
+    g_s = grad_fn(state_s.params, batch=single)
+    g_scale = max(float(np.abs(np.asarray(x)).max())
+                  for x in jax.tree.leaves(g_s))
+    for (path, a), (_, b_) in zip(
+            jax.tree_util.tree_leaves_with_path(g_m),
+            jax.tree_util.tree_leaves_with_path(g_s)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b_), rtol=1e-3,
+            atol=1e-3 * g_scale,
+            err_msg=f"mp=4 grad != single-device grad at {path}")
+
+    state_m, loss_m = step(state_m, sharded)
+    state_s, loss_s = step(state_s, single)
+    assert np.isfinite(float(loss_m))
+    np.testing.assert_allclose(float(loss_m), float(loss_s), rtol=1e-4)
+    jax.clear_caches()
+
+
+@pytest.mark.slow
+def test_matcher_mp4_shape3d_4096():
+    """The 3D-token axis sharded 4 ways at shape3d=4096 (2x the protocol
+    budget): matcher outputs equal the single-device forward."""
+    mesh = pmesh.make_mesh(8, (2, 4))
+    rng = np.random.default_rng(1)
+    b, n1, n2, leaf, d = 2, 256, 4096, 8, 256
+    key = jax.random.PRNGKey(0)
+    params = gats_spg.init_params(key)
+    cfg = dict(gats_spg.DEFAULT_CONFIG)
+
+    mask2d = np.ones((b, n1), bool)
+    mask2d[:, n1 - 17:] = False
+    mask3d = np.ones((b, n2), bool)
+    mask3d[:, n2 - 33:] = False
+    data = {
+        "descriptors2d_query": rng.normal(
+            size=(b, n1, d)).astype(np.float32),
+        "descriptors3d_db": rng.normal(size=(b, n2, d)).astype(np.float32),
+        "descriptors2d_db": rng.normal(
+            size=(b, n2 * leaf, d)).astype(np.float32),
+        "mask2d": mask2d,
+        "mask3d": mask3d,
+    }
+    specs = {
+        "descriptors2d_query": P("data", None, None),
+        "descriptors3d_db": P("data", "model", None),
+        "descriptors2d_db": P("data", "model", None),
+        "mask2d": P("data", None),
+        "mask3d": P("data", "model"),
+    }
+
+    fwd = jax.jit(lambda p, dat: gats_spg.forward(p, dat, cfg))
+    sharded = {
+        k: jax.device_put(jnp.asarray(v), NamedSharding(mesh, specs[k]))
+        for k, v in data.items()
+    }
+    single = {k: jnp.asarray(v) for k, v in data.items()}
+
+    out_m = fwd(params, sharded)
+    out_s = fwd(params, single)
+    np.testing.assert_array_equal(
+        np.asarray(out_m.matches0), np.asarray(out_s.matches0),
+        err_msg="mp=4 shape3d=4096 matches != single-device matches")
+    np.testing.assert_array_equal(
+        np.asarray(out_m.matches1), np.asarray(out_s.matches1))
+    np.testing.assert_allclose(
+        np.asarray(out_m.matching_scores0),
+        np.asarray(out_s.matching_scores0), rtol=1e-4, atol=1e-6)
+    # really sharded over the mesh
+    assert len(out_m.matches0.sharding.device_set) == 8
+    jax.clear_caches()
