@@ -32,6 +32,10 @@ def inference_core(cfg, data_root, seq_dir, sfm_model_dir, sp_params,
     from onepose_tpu.datasets import anno
     from onepose_tpu.evaluators import Evaluator, record_eval_result
     from onepose_tpu.sfm.extract import load_gray
+    from onepose_tpu.sfm.extract import CONFS as _SP_CONFS
+
+    def extract_confs():
+        return _SP_CONFS
     from onepose_tpu.utils import path_utils
 
     anno_dir = path_utils.get_anno_dir(
@@ -65,9 +69,15 @@ def inference_core(cfg, data_root, seq_dir, sfm_model_dir, sp_params,
                 f"batch_size {cfg.batch_size} not divisible by "
                 f"n_devices {n_dev}")
 
+    # Reference parity: inference loads SuperPoint with the *extract* conf
+    # (/root/reference/inference.py:66-71 -> src/sfm/extract_features.py:8-25
+    # — nms_radius 3, effective keypoint_threshold 0.005), NOT the model's
+    # defaults. max_keypoints stays the static TPU budget from the config.
+    sp_conf = dict(extract_confs()[cfg.network.detection]["conf"])
+    sp_conf["max_keypoints"] = cfg.max_keypoints
     pipe = pipeline.PosePipeline(
         sp_params, gats_params, db,
-        sp_config={"max_keypoints": cfg.max_keypoints},
+        sp_config=sp_conf,
         reproj_threshold=cfg.pnp.reproj_threshold,
         num_hypotheses=cfg.pnp.num_hypotheses,
         refine_iters=cfg.pnp.refine_iters,

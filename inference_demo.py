@@ -60,6 +60,7 @@ def inference_core(cfg):
     from onepose_tpu.datasets import anno
     from onepose_tpu.models import superpoint
     from onepose_tpu.sfm.extract import load_gray
+    from onepose_tpu.sfm import extract as extract_mod
     from onepose_tpu.tracker import BATracker
     from onepose_tpu.utils import geometry as geo, model_io, path_utils, \
         vis_utils
@@ -94,9 +95,13 @@ def inference_core(cfg):
         sp_params, sg_params, [load_gray(p) for p in db_paths],
         max_keypoints=cfg.max_keypoints)
 
+    # Same extract-conf base as the reference's load_extractor_model
+    # (/root/reference/inference_demo.py:88-98): nms_radius 3.
+    sp_conf = dict(extract_mod.CONFS[cfg.network.detection]["conf"])
+    sp_conf["max_keypoints"] = cfg.max_keypoints
     pipe = pipeline.PosePipeline(
         sp_params, gats_params, db,
-        sp_config={"max_keypoints": cfg.max_keypoints},
+        sp_config=sp_conf,
         reproj_threshold=cfg.pnp.reproj_threshold,
         num_hypotheses=cfg.pnp.num_hypotheses,
         refine_iters=cfg.pnp.refine_iters)

@@ -66,7 +66,14 @@ class LocalFeatureObjectDetector:
         (the sampled reference views)."""
         self.sp_params = sp_params
         self.sg_params = sg_params
+        # Reference parity: the detector only ever receives the SuperPoint
+        # loaded with the extract conf (nms_radius 3 — /root/reference/
+        # feature_matching_object_detector.py:74-78), so that conf is the
+        # default base here, not the model's own defaults (nms_radius 4).
+        from onepose_tpu.sfm.extract import CONFS as _confs
+
         self.sp_config = dict(superpoint.DEFAULT_CONFIG)
+        self.sp_config.update(_confs["superpoint"]["conf"])
         self.sp_config.update(sp_config or {})
         self.sp_config["max_keypoints"] = max_keypoints
         self.sp_config = superpoint.resolve_fused_stem(self.sp_config)

@@ -44,3 +44,37 @@ def load_ref_superglue():
         f"{REF}/src/models/matchers/SuperGlue/superglue.py",
     )
     return mod.SuperGlue
+
+
+def _ensure_stub(name: str):
+    """Install a no-op stand-in for an optional dependency of a reference
+    module (e.g. loguru, absent from this image) before loading it."""
+    if name in sys.modules:
+        return
+    mod = types.ModuleType(name)
+
+    class _Null:
+        def __getattr__(self, k):
+            return lambda *a, **kw: None
+
+    mod.logger = _Null()
+    sys.modules[name] = mod
+
+
+def load_ref_data_utils():
+    """Reference crop/pad/leaf machinery (src/utils/data_utils.py) — the
+    pack_data semantics of /root/reference/inference.py:80-94 live here."""
+    _ensure_stub("loguru")
+    return _load("ref_data_utils", f"{REF}/src/utils/data_utils.py")
+
+
+def load_ref_eval_utils():
+    """Reference ransac_PnP (cv2 EPnP, scale/units semantics) + pose
+    errors (src/utils/eval_utils.py)."""
+    return _load("ref_eval_utils", f"{REF}/src/utils/eval_utils.py")
+
+
+def load_ref_evaluator():
+    """Reference cmd1/3/5 Evaluator (src/evaluators/cmd_evaluator.py)."""
+    mod = _load("ref_cmd_evaluator", f"{REF}/src/evaluators/cmd_evaluator.py")
+    return mod.Evaluator

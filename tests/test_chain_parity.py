@@ -1,0 +1,658 @@
+"""Full-chain protocol parity: the reference's composed inference path vs
+this repo's composed inference path, same weights, same on-disk fixture.
+
+Per-module parity (tests/test_superpoint_parity.py,
+tests/test_gats_spg_parity.py) pins each stage; this test pins the
+COMPOSITION (VERDICT r3 Missing #1): crop→extract→pack→match→PnP→Evaluator
+as the reference's own modules wire it (/root/reference/inference.py:97-182)
+against `inference.py` here, on one synthetic on-disk sequence with one
+shared set of weights. Any divergence in the gluing semantics — keypoint
+conf (nms_radius 3 via the extract conf, the 0.005 effective threshold),
+pack_data leaf/dustbin construction (inference.py:80-94 →
+data_utils.py:143-205), PnP units (`scale=1000`, eval_utils.py:18-42),
+evaluator thresholds — shows up as keypoint/match-set or metric drift here.
+
+Fixture design (no real assets in this environment):
+
+- Scene: two textured planes forming a dihedral (non-planar 3D point set —
+  cv2's EPnP is unstable on coplanar points). Views are exact homography
+  warps, so both chains see identical, geometrically consistent images.
+- SuperPoint weights: seeded random init with *constructed* surgery so a
+  weightless net still yields informative features (random deep conv
+  stacks collapse to near-constant descriptors): texture-driven first
+  conv, identity mid-backbone (the conv math itself is pinned by the
+  module parity tests), and a descriptor head projected orthogonal to the
+  mean activation (measured: same-point cross-view cosine 0.87 vs 0.06
+  for wrong pairs). Saved as a torch .pth; BOTH chains load it (ours via
+  the converter — exercising the weight-conversion path too).
+- GATsSPG weights: constructed near-passthrough — self/cross residual
+  MLPs scaled to 0.01, GATs attention `a` set to suppress the all-ones
+  dustbin leaves, final_proj ≈ identity — so the dual-softmax matches on
+  raw descriptor similarity with high confidence while every layer still
+  executes. Saved as a Lightning-style .ckpt with 'matcher.' prefixes.
+- The 3D DB (anno_3d_average/collect npz + idxs) is built from the torch
+  extractor's own observations on 7 DB views, associated to exact 3D
+  plane coordinates via the inverse render homographies; every point has
+  <= 7 observations < num_leaf=8, so both sides' leaf construction is the
+  same multiset (obs + dustbins) and leaf ORDER (randomly permuted on the
+  reference side, data_utils.py:186-190) cannot matter beyond fp
+  reassociation. Clusters closer than 8 texels are dropped: descriptors
+  of near-duplicate surface points are ~0.87-correlated, and a confident
+  wrong-neighbor match is a 5-20 px pseudo-inlier that poisons PnP.
+"""
+import os.path as osp
+import sys
+
+import numpy as np
+import pytest
+
+import conftest
+
+torch = pytest.importorskip("torch")
+cv2 = pytest.importorskip("cv2")
+pytestmark = [
+    pytest.mark.slow,
+    pytest.mark.skipif(not conftest.reference_available(),
+                       reason="reference repo not present"),
+]
+
+sys.path.insert(0, osp.dirname(__file__))
+sys.path.insert(0, osp.dirname(osp.dirname(osp.abspath(__file__))))
+
+HW = 256
+TEX_RES = 256
+F = 460.0
+K_CAM = np.array([[F, 0, HW / 2], [0, F, HW / 2], [0, 0, 1]], np.float64)
+NUM_LEAF = 8
+SHAPE3D = 128
+MAX_KPTS = 1024
+
+HPARAMS = {
+    "descriptor_dim": 256,
+    "keypoints_encoder": [32, 64, 128],
+    "include_self": True,
+    "additional": False,
+    "with_linear_transform": False,
+    "match_type": "softmax",
+    "scale_factor": 0.07,
+    "match_threshold": 0.2,
+}
+SP_CONF = {  # /root/reference/src/sfm/extract_features.py:19-25
+    "descriptor_dim": 256,
+    "nms_radius": 3,
+    "max_keypoints": MAX_KPTS,
+    "keypoints_threshold": 0.6,  # typo key — ignored; effective 0.005
+}
+
+
+class pinned_grid_sample:
+    """The reference picks grid_sample align_corners by parsing
+    torch.__version__[2] (superpoint.py:87) — True under its pinned torch
+    1.8, False under this image's torch 2.13 (the single-char parse reads
+    '1' from "2.13"). The reference's native behavior — the convention its
+    published weights were trained with — is align_corners=True; pin it
+    whenever reference SuperPoint runs (same pin as
+    tests/test_superpoint_parity.py::test_keypoint_set_parity)."""
+
+    def __enter__(self):
+        self._real = torch.nn.functional.grid_sample
+
+        def pinned(inp, grid, mode="bilinear", **kwargs):
+            return self._real(inp, grid, mode=mode, align_corners=True)
+
+        torch.nn.functional.grid_sample = pinned
+        return self
+
+    def __exit__(self, *exc):
+        torch.nn.functional.grid_sample = self._real
+        return False
+
+
+# ---------------------------------------------------------------------------
+# Scene: two textured planes (a dihedral "open book")
+# ---------------------------------------------------------------------------
+
+def make_planes(rng):
+    def tex():
+        t = cv2.resize(rng.uniform(0, 1, (32, 32)).astype(np.float32),
+                       (TEX_RES, TEX_RES), interpolation=cv2.INTER_CUBIC)
+        return np.clip(t, 0, 1)
+
+    c45 = np.cos(np.deg2rad(40.0))
+    s45 = np.sin(np.deg2rad(40.0))
+    return [
+        # plane A: z=0, x in [-0.18, 0], y in [-0.09, 0.09]
+        {"origin": np.array([-0.18, -0.09, 0.0]),
+         "u": np.array([1.0, 0.0, 0.0]), "v": np.array([0.0, 1.0, 0.0]),
+         "size": 0.18, "tex": tex()},
+        # plane B: hinged at x=0, rising toward the cameras
+        {"origin": np.array([0.0, -0.09, 0.0]),
+         "u": np.array([c45, 0.0, s45]), "v": np.array([0.0, 1.0, 0.0]),
+         "size": 0.18, "tex": tex()},
+    ]
+
+
+def plane_homography(plane, pose):
+    """texture px (tx, ty, 1) -> image px, via world p = o + tx*s*u + ty*s*v."""
+    R, t = pose[:3, :3], pose[:3, 3]
+    s = plane["size"] / TEX_RES
+    M = np.stack([R @ plane["u"] * s, R @ plane["v"] * s,
+                  R @ plane["origin"] + t], axis=1)
+    return K_CAM @ M
+
+
+def render(planes, pose):
+    canvas = np.zeros((HW, HW), np.float32)
+    for plane in planes:  # B rendered last = on top (it is nearer)
+        H = plane_homography(plane, pose)
+        warp = cv2.warpPerspective(plane["tex"], H.astype(np.float64),
+                                   (HW, HW))
+        mask = cv2.warpPerspective(
+            np.ones_like(plane["tex"]), H.astype(np.float64), (HW, HW))
+        canvas = np.where(mask > 0.5, warp, canvas)
+    return canvas
+
+
+def backproject(planes, pose, pts_xy, margin=6.0):
+    """Map image points to (plane_idx, tx, ty) or None. Checks plane B
+    (rendered on top) first, mirroring render order."""
+    out = []
+    Hs = [plane_homography(p, pose) for p in planes]
+    Hinvs = [np.linalg.inv(H) for H in Hs]
+    for xy in pts_xy:
+        hit = None
+        for pi in (1, 0):
+            q = Hinvs[pi] @ np.array([xy[0], xy[1], 1.0])
+            tx, ty = q[0] / q[2], q[1] / q[2]
+            if margin <= tx < TEX_RES - margin and \
+                    margin <= ty < TEX_RES - margin:
+                hit = (pi, tx, ty)
+                break
+        out.append(hit)
+    return out
+
+
+def plane_point(planes, pi, tx, ty):
+    p = planes[pi]
+    s = p["size"] / TEX_RES
+    return p["origin"] + tx * s * p["u"] + ty * s * p["v"]
+
+
+def look_at(eye, target):
+    z = target - eye
+    z = z / np.linalg.norm(z)
+    up = np.array([0.0, 1.0, 0.0])
+    x = np.cross(z, up)
+    x = x / np.linalg.norm(x)
+    y = np.cross(z, x)
+    R = np.stack([x, y, z])
+    t = -R @ eye
+    pose = np.eye(4)
+    pose[:3, :3] = R
+    pose[:3, 3] = t
+    return pose
+
+
+def camera_ring(n, radius=0.42, elev_deg=55.0, az0=-30.0, az1=30.0,
+                elev_jitter=0.0):
+    target = np.array([0.0, 0.0, 0.04])
+    poses = []
+    for i in range(n):
+        az = np.deg2rad(az0 + (az1 - az0) * i / max(n - 1, 1))
+        el = np.deg2rad(elev_deg + elev_jitter * ((i % 2) * 2 - 1))
+        eye = target + radius * np.array([
+            np.sin(az) * np.cos(el), 0.25 * np.sin(az), np.sin(el)])
+        poses.append(look_at(eye, target))
+    return poses
+
+
+# ---------------------------------------------------------------------------
+# Constructed weights (see module docstring)
+# ---------------------------------------------------------------------------
+
+def build_superpoint(calib_img):
+    from ref_loader import load_ref_superpoint
+
+    SP = load_ref_superpoint()
+    torch.manual_seed(11)
+    sp = SP(SP_CONF).eval()
+
+    def ident(conv, cin, cout):
+        w = torch.zeros(cout, cin, *conv.weight.shape[2:])
+        c = conv.weight.shape[2] // 2
+        for i in range(min(cin, cout)):
+            w[i, i, c, c] = 1.0
+        if cout > cin:
+            w[cin:] = 0.1 * torch.randn(cout - cin, cin,
+                                        *conv.weight.shape[2:])
+        conv.weight.copy_(w)
+        conv.bias.zero_()
+
+    with torch.no_grad():
+        for m in sp.modules():
+            if isinstance(m, torch.nn.Conv2d) and m.bias is not None:
+                m.bias.zero_()
+        sp.conv1a.weight.mul_(3.0)
+        ident(sp.conv2a, 64, 64)
+        ident(sp.conv2b, 64, 64)
+        ident(sp.conv3a, 64, 128)
+        ident(sp.conv3b, 128, 128)
+        ident(sp.conv4a, 128, 128)
+        ident(sp.conv4b, 128, 128)
+        sp.convPa.weight.mul_(3.0)
+        sp.convPb.weight.mul_(4.0)
+        # kill the constant descriptor component: project convDb rows
+        # orthogonal to the mean cDa activation on a calibration image
+        x = torch.from_numpy(calib_img)[None, None]
+        h = sp.relu(sp.conv1a(x))
+        h = sp.relu(sp.conv1b(h))
+        h = sp.pool(h)
+        h = sp.relu(sp.conv2a(h))
+        h = sp.relu(sp.conv2b(h))
+        h = sp.pool(h)
+        h = sp.relu(sp.conv3a(h))
+        h = sp.relu(sp.conv3b(h))
+        h = sp.pool(h)
+        h = sp.relu(sp.conv4a(h))
+        h = sp.relu(sp.conv4b(h))
+        cDa = sp.relu(sp.convDa(h))
+        mu = cDa.mean(dim=(0, 2, 3))
+        mu = mu / mu.norm()
+        W = sp.convDb.weight[:, :, 0, 0]
+        W = W - (W @ mu)[:, None] * mu[None, :]
+        sp.convDb.weight.copy_(W[:, :, None, None])
+    return sp
+
+
+def build_matcher():
+    from ref_loader import load_ref_gats_spg
+
+    G = load_ref_gats_spg()
+    torch.manual_seed(3)
+    m = G(HPARAMS).eval()
+    with torch.no_grad():
+        for layer, name in zip(m.gnn.layers, m.gnn.names):
+            if name == "GATs":
+                layer.W.copy_(torch.eye(256))
+                a = torch.zeros(512, 1)
+                a[:256, 0] = -20.0 / 16.0  # ones-leaf logit -20, real ~N(0,1)
+                layer.a.copy_(a)
+            else:
+                layer.mlp[-1].weight.mul_(0.01)
+                layer.mlp[-1].bias.zero_()
+        m.final_proj.weight.copy_(
+            torch.eye(256)[:, :, None] + 0.01 * torch.randn(256, 256, 1))
+        m.final_proj.bias.zero_()
+    return m
+
+
+# ---------------------------------------------------------------------------
+# Fixture: weights + DB artifacts + query sequence on disk
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def world(tmp_path_factory):
+    root = tmp_path_factory.mktemp("chain")
+    rng = np.random.default_rng(5)
+    planes = make_planes(rng)
+
+    db_poses = camera_ring(7, elev_deg=62.0, az0=-27.0, az1=27.0)
+    q_poses = camera_ring(5, elev_deg=66.0, az0=-18.0, az1=18.0,
+                          elev_jitter=2.0)
+
+    calib = render(planes, db_poses[0])
+    sp = build_superpoint(calib)
+    matcher = build_matcher()
+
+    sp_path = str(root / "superpoint.pth")
+    gats_path = str(root / "GATsSPG.ckpt")
+    torch.save(sp.state_dict(), sp_path)
+    torch.save({"state_dict": {"matcher." + k: v
+                               for k, v in matcher.state_dict().items()}},
+               gats_path)
+
+    # ---- DB: torch extractor on DB views, exact 3D association ----------
+    def extract_torch(img):
+        with torch.no_grad(), pinned_grid_sample():
+            o = sp(torch.from_numpy(img)[None, None])
+        return (o["keypoints"][0].numpy(), o["descriptors"][0].numpy(),
+                o["scores"][0].numpy())
+
+    clusters = {}
+    for vi, pose in enumerate(db_poses):
+        img = render(planes, pose)
+        # round-trip through PNG so DB observations see the same
+        # quantization as the query chain inputs
+        img = np.round(img * 255).astype(np.uint8).astype(np.float32) / 255
+        kpts, desc, scores = extract_torch(img)
+        hits = backproject(planes, pose, kpts)
+        for ki, hit in enumerate(hits):
+            if hit is None:
+                continue
+            pi, tx, ty = hit
+            key = (pi, int(round(tx / 3.0)), int(round(ty / 3.0)))
+            cl = clusters.setdefault(key, {})
+            if vi not in cl:  # one obs per view per cluster
+                cl[vi] = (plane_point(planes, pi, tx, ty),
+                          desc[:, ki], float(scores[ki]))
+
+    good = [(key, cl) for key, cl in sorted(clusters.items())
+            if 3 <= len(cl) <= 7]
+    assert len(good) >= 60, f"only {len(good)} stable DB clusters"
+
+    # enforce texture-space separation between clusters: descriptors a few
+    # texels apart are correlated (~0.87 cosine), and a confident match to
+    # a near-duplicate neighbor is a 5-20 px pseudo-inlier that poisons
+    # BOTH chains' PnP. 8+ texels apart, a wrong-neighbor match reprojects
+    # past the 5 px inlier gate instead.
+    sep_m = 8.0 * 0.18 / TEX_RES  # 8 texels in meters
+    kept, kept_pos = [], []
+    for key, cl in good:
+        xyz = np.mean([o[0] for o in cl.values()], axis=0)
+        if any(np.linalg.norm(xyz - q) < sep_m for q in kept_pos):
+            continue
+        kept_pos.append(xyz)
+        kept.append((key, cl))
+    good = kept[:120]
+    assert len(good) >= 60, f"only {len(good)} separated DB clusters"
+
+    xyzs, avg_desc, avg_scores = [], [], []
+    clt_desc, clt_scores, idxs = [], [], []
+    for _, cl in good:
+        obs = [cl[vi] for vi in sorted(cl)]
+        xyzs.append(np.mean([o[0] for o in obs], axis=0))
+        ds = np.stack([o[1] for o in obs], axis=1)  # [256, n]
+        avg_desc.append(ds.mean(axis=1))
+        avg_scores.append(np.mean([o[2] for o in obs]))
+        clt_desc.append(ds)
+        clt_scores.extend(o[2] for o in obs)
+        idxs.append(len(obs))
+
+    anno_dir = root / "sfm_model" / "obj" / "outputs_superpoint_superglue" \
+        / "anno"
+    anno_dir.mkdir(parents=True)
+    xyzs = np.asarray(xyzs, np.float32)
+    np.savez(str(anno_dir / "anno_3d_average.npz"), keypoints3d=xyzs,
+             descriptors3d=np.stack(avg_desc, 1).astype(np.float32),
+             scores3d=np.asarray(avg_scores, np.float32)[:, None])
+    np.savez(str(anno_dir / "anno_3d_collect.npz"), keypoints3d=xyzs,
+             descriptors3d=np.concatenate(clt_desc, 1).astype(np.float32),
+             scores3d=np.asarray(clt_scores, np.float32)[:, None])
+    np.save(str(anno_dir / "idxs.npy"), np.asarray(idxs, np.int64))
+
+    # ---- query sequence on disk (reference dataset layout) --------------
+    seq = root / "data" / "obj" / "seq-1"
+    for d in ("color", "intrin_ba", "poses_ba"):
+        (seq / d).mkdir(parents=True)
+    for i, pose in enumerate(q_poses):
+        img = render(planes, pose)
+        cv2.imwrite(str(seq / "color" / f"{i}.png"),
+                    np.round(img * 255).astype(np.uint8))
+        np.savetxt(str(seq / "intrin_ba" / f"{i}.txt"), K_CAM)
+        np.savetxt(str(seq / "poses_ba" / f"{i}.txt"), pose)
+
+    return {
+        "root": root, "sp": sp, "matcher": matcher,
+        "sp_path": sp_path, "gats_path": gats_path,
+        "anno_dir": str(anno_dir),
+        "sfm_model_dir": str(root / "sfm_model" / "obj"),
+        "seq_dir": str(seq), "data_root": str(root / "data" / "obj"),
+        "n_frames": len(q_poses), "n_points": len(good),
+    }
+
+
+# ---------------------------------------------------------------------------
+# The two chains
+# ---------------------------------------------------------------------------
+
+def run_reference_chain(world):
+    """Replicates /root/reference/inference.py:97-182 with the reference's
+    own modules (CPU; the .cuda() hops are the only omission)."""
+    from ref_loader import (load_ref_data_utils, load_ref_eval_utils,
+                            load_ref_evaluator)
+
+    du = load_ref_data_utils()
+    eu = load_ref_eval_utils()
+    evaluator = load_ref_evaluator()()
+
+    sp, matcher = world["sp"], world["matcher"]
+    avg_data = np.load(osp.join(world["anno_dir"], "anno_3d_average.npz"))
+    clt_data = np.load(osp.join(world["anno_dir"], "anno_3d_collect.npz"))
+    idxs = np.load(osp.join(world["anno_dir"], "idxs.npy"))
+
+    keypoints3d = torch.Tensor(clt_data["keypoints3d"])
+    num_3d = keypoints3d.shape[0]
+    avg_descriptors3d, _ = du.pad_features3d_random(
+        avg_data["descriptors3d"], avg_data["scores3d"], num_3d)
+    np.random.seed(12345)  # seed_everything(12345), inference.py:13-14
+    clt_descriptors, _ = du.build_features3d_leaves(
+        clt_data["descriptors3d"], clt_data["scores3d"], idxs,
+        num_3d, NUM_LEAF)
+
+    frames = []
+    for i in range(world["n_frames"]):
+        img_path = osp.join(world["seq_dir"], "color", f"{i}.png")
+        image = cv2.imread(img_path, cv2.IMREAD_GRAYSCALE).astype(
+            np.float32)[None] / 255.0  # NormalizedDataset semantics
+        K_crop = np.loadtxt(
+            osp.join(world["seq_dir"], "intrin_ba", f"{i}.txt"))
+        with torch.no_grad(), pinned_grid_sample():
+            pred_detection = sp(torch.from_numpy(image)[None])
+        pred_detection = {k: v[0].numpy()
+                          for k, v in pred_detection.items()}
+        inp_data = {  # pack_data, inference.py:80-94
+            "keypoints2d": torch.Tensor(
+                pred_detection["keypoints"])[None],
+            "keypoints3d": keypoints3d[None],
+            "descriptors2d_query": torch.Tensor(
+                pred_detection["descriptors"])[None],
+            "descriptors3d_db": avg_descriptors3d[None],
+            "descriptors2d_db": clt_descriptors[None],
+            "image_size": np.array(image.shape[1:]),
+        }
+        with torch.no_grad():
+            pred, _ = matcher(inp_data)
+        matches = pred["matches0"].numpy()
+        valid = matches > -1
+        kpts2d = pred_detection["keypoints"]
+        kpts3d = inp_data["keypoints3d"][0].numpy()
+        mkpts2d = kpts2d[valid]
+        mkpts3d = kpts3d[matches[valid]]
+        pose_pred, _, inliers = eu.ransac_PnP(
+            K_crop, mkpts2d, mkpts3d, scale=1000)
+        pose_gt = np.loadtxt(
+            osp.join(world["seq_dir"], "poses_ba", f"{i}.txt"))
+        evaluator.evaluate(pose_pred, pose_gt)
+        frames.append({
+            "kpts": {(int(round(x)), int(round(y))) for x, y in kpts2d},
+            "matches": {(int(round(x)), int(round(y)), int(mi))
+                        for (x, y), mi in
+                        zip(kpts2d[valid], matches[valid])},
+            "pose": pose_pred,
+            "n_inliers": len(inliers),
+        })
+    metrics = evaluator.summarize()
+    return frames, {k: float(metrics[k]) for k in ("cmd1", "cmd3", "cmd5")}
+
+
+def make_repo_cfg(world, eval_dir):
+    from onepose_tpu.config import Config
+
+    return Config({
+        "network": Config({"detection": "superpoint",
+                           "matching": "superglue"}),
+        "num_leaf": NUM_LEAF,
+        "shape3d": SHAPE3D,
+        "max_keypoints": MAX_KPTS,
+        "object_detect_mode": "GT_box",
+        "batch_size": world["n_frames"],
+        "pnp": Config({"reproj_threshold": 5.0, "num_hypotheses": 512,
+                       "refine_iters": 4}),
+        "save_wis3d": False,
+        "output": Config({"eval_dir": eval_dir}),
+    })
+
+
+def run_repo_chain(world):
+    """inference.py's composed path: inference_core for the metrics (the
+    real CLI surface), plus the same PosePipeline construction for the
+    per-frame match sets/poses the CLI does not return."""
+    import jax
+
+    import inference as inference_cli
+    from onepose_tpu import pipeline
+    from onepose_tpu.datasets import anno
+    from onepose_tpu.sfm.extract import CONFS
+    from onepose_tpu.utils import model_io
+
+    sp_params = model_io.load_superpoint_params(world["sp_path"])
+    gats_params = model_io.load_gats_params(world["gats_path"])
+
+    eval_dir = str(world["root"] / "runs" / "eval")
+    cfg = make_repo_cfg(world, eval_dir)
+    metrics = inference_cli.inference_core(
+        cfg, world["data_root"], world["seq_dir"],
+        world["sfm_model_dir"], sp_params, gats_params)
+
+    # per-frame artifacts through the same fused pipeline the CLI builds
+    db = anno.load_object_db(
+        osp.join(world["anno_dir"], "anno_3d_average.npz"),
+        osp.join(world["anno_dir"], "anno_3d_collect.npz"),
+        osp.join(world["anno_dir"], "idxs.npy"),
+        num_leaf=NUM_LEAF, shape3d=SHAPE3D)
+    sp_conf = dict(CONFS["superpoint"]["conf"])
+    sp_conf["max_keypoints"] = MAX_KPTS
+    pipe = pipeline.PosePipeline(
+        sp_params, gats_params, db, sp_config=sp_conf,
+        reproj_threshold=5.0, num_hypotheses=512, refine_iters=4)
+
+    n = world["n_frames"]
+    images = np.stack([
+        cv2.imread(osp.join(world["seq_dir"], "color", f"{i}.png"),
+                   cv2.IMREAD_GRAYSCALE).astype(np.float32) / 255.0
+        for i in range(n)])[..., None]
+    Ks = np.broadcast_to(K_CAM.astype(np.float32), (n, 3, 3)).copy()
+    keys = jax.random.split(jax.random.PRNGKey(12345), n)
+    out = pipe(images, Ks, keys)
+
+    frames = []
+    kpts = np.asarray(out.keypoints2d)
+    kmask = np.asarray(out.kpt_mask)
+    m0 = np.asarray(out.matches0)
+    poses = np.asarray(out.poses)
+    success = np.asarray(out.success)
+    for i in range(n):
+        vk = kmask[i]
+        frames.append({
+            "kpts": {(int(round(x)), int(round(y)))
+                     for x, y in kpts[i][vk]},
+            "matches": {(int(round(x)), int(round(y)), int(mi))
+                        for (x, y), mi in zip(kpts[i], m0[i])
+                        if mi >= 0},
+            "pose": poses[i] if success[i] else None,
+        })
+    jax.clear_caches()
+    return frames, {k: float(metrics[k]) for k in ("cmd1", "cmd3", "cmd5")}
+
+
+# ---------------------------------------------------------------------------
+# The parity assertions
+# ---------------------------------------------------------------------------
+
+def jaccard(a, b):
+    return len(a & b) / max(len(a | b), 1)
+
+
+def test_full_chain_parity(world):
+    """Composition parity assertions.
+
+    What is provable, measured on this deterministic fixture:
+
+    - The DISCRETE chain (keypoint sets, match sets) agrees between the
+      two frameworks within threshold-marginal fp flips (observed kpt
+      Jaccard 1.000, match Jaccard 0.95-1.00).
+    - Pose EQUALITY across chains is solver-bounded, not achievable: the
+      reference's `ransac_PnP` never refines its EPnP solution
+      (eval_utils.py:28-31 — RANSAC + EPnP refit only), and EPnP carries
+      an algebraic bias on noisy points. Measured on frame 0's identical
+      match set and identical 86/89-inlier consensus: cv2 EPnP 4.12 deg
+      from GT; the same inliers LM-refined 0.86 deg; this repo's
+      LO-RANSAC+GN 0.84 deg. So the assertion is DOMINANCE with slack —
+      our chain must be at least as accurate per frame — plus absolute
+      envelopes for both chains (a units/scale composition bug would blow
+      the repo bound immediately), plus cross-feeding our match set into
+      the reference's own solver.
+    """
+    from ref_loader import load_ref_eval_utils
+
+    from onepose_tpu.utils import geometry as geo
+
+    ref_frames, ref_metrics = run_reference_chain(world)
+    repo_frames, repo_metrics = run_repo_chain(world)
+    xyz = np.load(
+        osp.join(world["anno_dir"], "anno_3d_average.npz"))["keypoints3d"]
+
+    n = world["n_frames"]
+    for i in range(n):
+        rf, pf = ref_frames[i], repo_frames[i]
+        gt = np.loadtxt(
+            osp.join(world["seq_dir"], "poses_ba", f"{i}.txt"))[:3]
+        # keypoint sets: identical conv math + conf; tolerance covers
+        # threshold-marginal and truncation-boundary flips only
+        kj = jaccard(rf["kpts"], pf["kpts"])
+        assert kj >= 0.95, (
+            f"frame {i}: keypoint-set Jaccard {kj:.3f} — extractor "
+            f"composition diverges (conf/threshold/NMS semantics)")
+        # match sets: (x, y, 3d_index) triples
+        mj = jaccard(rf["matches"], pf["matches"])
+        assert len(rf["matches"]) >= 30, (
+            f"frame {i}: reference chain produced only "
+            f"{len(rf['matches'])} matches — fixture too weak")
+        assert mj >= 0.90, (
+            f"frame {i}: match-set Jaccard {mj:.3f} "
+            f"(ref {len(rf['matches'])}, repo {len(pf['matches'])}) — "
+            f"packing/matching composition diverges")
+        # pose envelopes: repo tight (a PnP units/scale/threshold
+        # composition bug — e.g. meters-vs-mm — lands far outside 3 deg);
+        # reference inside its measured unrefined-EPnP envelope
+        assert pf["pose"] is not None, f"frame {i}: repo PnP failed"
+        pr, pt = geo.query_pose_error(pf["pose"], gt)
+        rr, rt = geo.query_pose_error(rf["pose"], gt)
+        assert pr < 3.0 and pt < 1.0, (
+            f"frame {i}: repo chain pose {pr:.2f}deg {pt:.2f}cm vs GT — "
+            f"PnP composition diverges")
+        assert rr < 10.0 and rt < 2.0, (
+            f"frame {i}: reference chain pose {rr:.2f}deg {rt:.2f}cm vs "
+            f"GT — outside the unrefined-EPnP envelope; torch-side "
+            f"replication is broken")
+        # dominance: identical inputs, refined solver — never materially
+        # worse than the reference's
+        assert pr <= rr + 0.75 and pt <= rt + 0.4, (
+            f"frame {i}: repo {pr:.2f}deg/{pt:.2f}cm vs ref "
+            f"{rr:.2f}deg/{rt:.2f}cm — lost accuracy on equal matches")
+
+    # cross-feed: OUR match set through the REFERENCE's own PnP must land
+    # in the same envelope — units/scale compose identically
+    eu = load_ref_eval_utils()
+    m0 = sorted(repo_frames[0]["matches"])
+    mk2 = np.array([[x, y] for x, y, _ in m0], float)
+    mk3 = np.array([xyz[mi] for _, _, mi in m0], float)
+    gt0 = np.loadtxt(osp.join(world["seq_dir"], "poses_ba", "0.txt"))[:3]
+    pose_x, _, _ = eu.ransac_PnP(
+        np.asarray(K_CAM), mk2, mk3, scale=1000)
+    xr, xt = geo.query_pose_error(pose_x, gt0)
+    assert xr < 10.0 and xt < 2.0, (
+        f"reference PnP on the repo chain's matches: {xr:.2f}deg "
+        f"{xt:.2f}cm — match-set units/indexing don't compose")
+
+    # metrics: never below the reference protocol, and non-vacuous
+    for k in ("cmd1", "cmd3", "cmd5"):
+        assert repo_metrics[k] >= ref_metrics[k], (
+            f"{k}: repo {repo_metrics[k]} < ref {ref_metrics[k]}")
+    assert repo_metrics["cmd5"] == 1.0, repo_metrics
+    assert ref_metrics["cmd3"] > 0.0, ref_metrics
+
+    # the repo chain wrote the protocol report through the real CLI path
+    report = osp.join(str(world["root"]), "runs", "eval", "objseq-1.txt")
+    assert osp.exists(report)
+    assert "cmd1" in open(report).read()
