@@ -89,3 +89,55 @@ def uf_components(n_nodes: int, edges: np.ndarray) -> np.ndarray:
         if i < min_of[r]:
             min_of[r] = i
     return np.array([min_of[find(i)] for i in range(n_nodes)], np.int64)
+
+
+def uf_components_imgsafe(n_nodes: int, edges: np.ndarray,
+                          node_img: np.ndarray) -> np.ndarray:
+    """Conflict-aware connected components: refuse unions whose two
+    components already observe a common image (two keypoints of one image
+    in one track = outlier-link signature; merging corrupts both points'
+    tracks — see track_builder.cpp). node_img: [n_nodes] int image id.
+    Deterministic for a fixed edge order."""
+    edges = np.ascontiguousarray(edges, np.int64)
+    node_img = np.ascontiguousarray(node_img, np.int32)
+    lib = load_library()
+    if lib is not None and hasattr(lib, "uf_components_imgsafe"):
+        lib.uf_components_imgsafe.argtypes = [
+            ctypes.c_int64, ctypes.c_int64,
+            np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
+            np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+            np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
+        ]
+        lib.uf_components_imgsafe.restype = None
+        roots = np.empty(n_nodes, np.int64)
+        lib.uf_components_imgsafe(
+            n_nodes, len(edges), edges.reshape(-1), node_img, roots)
+        return roots
+
+    # Python fallback (same semantics)
+    parent = np.arange(n_nodes, dtype=np.int64)
+    imgs = [{int(node_img[i])} for i in range(n_nodes)]
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra == rb:
+            continue
+        if imgs[ra] & imgs[rb]:
+            continue
+        if len(imgs[ra]) < len(imgs[rb]):
+            ra, rb = rb, ra
+        parent[rb] = ra
+        imgs[ra] |= imgs[rb]
+        imgs[rb] = set()
+    min_of = np.arange(n_nodes, dtype=np.int64)
+    for i in range(n_nodes):
+        r = find(i)
+        if i < min_of[r]:
+            min_of[r] = i
+    return np.array([min_of[find(i)] for i in range(n_nodes)], np.int64)

@@ -180,22 +180,35 @@ def build_tracks(num_kpts: Dict[str, int],
                  verified_matches: List[Tuple[str, str, np.ndarray]]):
     """verified_matches: list of (name0, name1, idx_pairs [M, 2]).
 
-    Connected components over the match graph via the native union-find
-    (onepose_tpu/runtime/track_builder.cpp; Python fallback inside).
-    Returns tracks = list of [(name, kpt_idx), ...] with >= 2 observations.
-    Image conflicts (two keypoints of one image in a track — the signature
-    of an outlier link) are tolerated here; the robust triangulation stage
-    keeps the consensus observations and prunes conflict losers by
-    reprojection error.
+    Connected components over the match graph via the native
+    conflict-aware union-find (onepose_tpu/runtime/track_builder.cpp;
+    Python fallback inside). Returns tracks = list of
+    [(name, kpt_idx), ...] with >= 2 observations.
+
+    Image conflicts (two keypoints of one image in a track — the
+    signature of an outlier link) are handled at the UNION level: a merge
+    that would put two keypoints of the same image into one component is
+    refused, reproducing COLMAP's track-merging rule. Plain transitive
+    union-find percolates into giant mixed components once surviving
+    outlier links exceed ~n_points/2 (measured: recall 0.22 at 30%
+    outlier matches vs 0.97 clean — tests/test_sfm_stress.py), and the
+    downstream per-track consensus splitting can only unpick one physical
+    point per round. Residual conflicts inside a refused-but-small mixed
+    track are still pruned by the robust triangulation stage.
     """
-    from onepose_tpu.runtime.native import uf_components
+    from onepose_tpu.runtime.native import uf_components_imgsafe
 
     names = list(num_kpts.keys())
     offsets = {}
     total = 0
-    for n in names:
+    node_img = np.empty(0, np.int32)
+    img_of = []
+    for ii, n in enumerate(names):
         offsets[n] = total
         total += num_kpts[n]
+        img_of.append(np.full(num_kpts[n], ii, np.int32))
+    node_img = (np.concatenate(img_of) if img_of
+                else np.zeros(0, np.int32))
 
     edge_arrays = [
         pairs_idx.astype(np.int64)
@@ -204,7 +217,7 @@ def build_tracks(num_kpts: Dict[str, int],
     ]
     edges = (np.concatenate(edge_arrays) if edge_arrays
              else np.zeros((0, 2), np.int64))
-    roots = uf_components(total, edges)
+    roots = uf_components_imgsafe(total, edges, node_img)
 
     # group nodes by root (vectorized)
     order = np.argsort(roots, kind="stable")

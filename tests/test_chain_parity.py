@@ -210,11 +210,11 @@ def camera_ring(n, radius=0.42, elev_deg=55.0, az0=-30.0, az1=30.0,
 # Constructed weights (see module docstring)
 # ---------------------------------------------------------------------------
 
-def build_superpoint(calib_img):
+def build_superpoint(calib_img, seed=11):
     from ref_loader import load_ref_superpoint
 
     SP = load_ref_superpoint()
-    torch.manual_seed(11)
+    torch.manual_seed(seed)
     sp = SP(SP_CONF).eval()
 
     def ident(conv, cin, cout):
