@@ -106,7 +106,9 @@ def main():
 
     pipe = pipeline.PosePipeline(
         sp_params, gats_params, db,
-        sp_config={"max_keypoints": MAX_KPTS},
+        # stem_dtype mirrors the inference-surface default (bf16 stem,
+        # gate-validated by scripts/stem_dtype_gate.py — DESIGN §6d)
+        sp_config={"max_keypoints": MAX_KPTS, "stem_dtype": "bfloat16"},
         num_hypotheses=NUM_HYPOTHESES)
 
     images = jax.device_put(
@@ -222,6 +224,7 @@ def main():
         "mfu": round(mfu, 4) if mfu is not None else None,
         "tflops_per_sec": round(tflops, 2) if tflops is not None else None,
         "protocol": PROTOCOL,
+        "stem_dtype": "bfloat16",
         "loadavg_1min": round(load1, 2),
         "host_idle": bool(0.0 <= load1 <= LOADAVG_IDLE_MAX),
     }))

@@ -485,6 +485,10 @@ def make_repo_cfg(world, eval_dir):
         "shape3d": SHAPE3D,
         "max_keypoints": MAX_KPTS,
         "object_detect_mode": "GT_box",
+        # bit-parity vs the fp32 torch reference chain: pin the stem to
+        # fp32 (the product default is bf16, gate-validated separately —
+        # scripts/stem_dtype_gate.py / DESIGN §6d)
+        "stem_dtype": "float32",
         "batch_size": world["n_frames"],
         "pnp": Config({"reproj_threshold": 5.0, "num_hypotheses": 512,
                        "refine_iters": 4}),
