@@ -65,6 +65,7 @@ def make_sequence(rng, n_frames, n_points=400, hw=512, desc_dim=256):
 
 
 def main():
+    from onepose_tpu import tracker as tracker_mod
     from onepose_tpu.tracker import BATracker
     from onepose_tpu.utils import geometry as geo
 
@@ -74,6 +75,10 @@ def main():
     ap.add_argument("--frames", type=int, default=24)
     ap.add_argument("--warmup", type=int, default=6,
                     help="tracked frames excluded from timing (compiles)")
+    ap.add_argument("--breakdown", action="store_true",
+                    help="also attribute the per-frame wall time: host "
+                         "round-trip (RTT) vs on-device kernel time for "
+                         "each of the two fused dispatches")
     args = ap.parse_args()
     if args.warmup >= args.frames:
         ap.error(f"--warmup ({args.warmup}) must be < --frames "
@@ -95,6 +100,24 @@ def main():
         ds[:n] = fr["descriptors"]
         mask[:n] = True
         return kp, ds, mask
+
+    # --breakdown: capture the exact operands of the two fused per-frame
+    # dispatches so they can be re-timed in isolation after the loop
+    captured = {}
+    if args.breakdown:
+        orig_track_step = tracker_mod._track_step
+        orig_ba_step = tracker_mod._window_ba_step
+
+        def cap_track(*a):
+            captured["track"] = a
+            return orig_track_step(*a)
+
+        def cap_ba(*a):
+            captured["ba"] = a
+            return orig_ba_step(*a)
+
+        tracker_mod._track_step = cap_track
+        tracker_mod._window_ba_step = cap_ba
 
     tracker = BATracker(win_size=10, pnp_hypotheses=256, ba_iterations=8)
     kp, ds, mask = padded(frames[0])
@@ -123,13 +146,54 @@ def main():
               f"mode={info['mode']} tracked={info.get('num_tracked')} "
               f"r={r_err:.2f}deg t={t_err:.2f}cm", flush=True)
 
-    print(json.dumps({
+    out = {
         "track_ms_median": round(float(np.median(times_ms)), 1),
         "track_ms_p90": round(float(np.percentile(times_ms, 90)), 1),
         "frames": len(times_ms),
         "r_err_deg_max": round(float(np.max(r_errs)), 2),
         "t_err_cm_max": round(float(np.max(t_errs)), 2),
-    }))
+    }
+
+    if args.breakdown:
+        import jax
+        import jax.numpy as jnp
+
+        def timed(fn, reps=20):
+            ts = []
+            for _ in range(reps):
+                t0 = time.perf_counter()
+                jax.block_until_ready(fn())
+                ts.append((time.perf_counter() - t0) * 1000.0)
+            return float(np.median(ts))
+
+        # pure dispatch+sync round trip on a trivial scalar program: the
+        # floor any single dispatch pays on this link
+        trivial = jax.jit(lambda x: x + 1.0)
+        x0 = jnp.float32(0.0)
+        jax.block_until_ready(trivial(x0))  # compile
+        rtt = timed(lambda: trivial(x0))
+
+        # each fused dispatch re-timed on its captured (warm) operands:
+        # sync wall = RTT + device time; chained (N async dispatches, one
+        # sync) amortizes the RTT and exposes device/dispatch-bound cost
+        def chained(f, a, n=10):
+            t0 = time.perf_counter()
+            outs = [f(*a) for _ in range(n)]
+            jax.block_until_ready(outs)
+            return (time.perf_counter() - t0) * 1000.0 / n
+
+        brk = {"rtt_ms": round(rtt, 1)}
+        for name, f in (("track_step", orig_track_step),
+                        ("ba_step", orig_ba_step)):
+            a = captured.get(name.split("_")[0]
+                             if name == "track_step" else "ba")
+            if a is None:
+                continue
+            brk[name + "_sync_ms"] = round(timed(lambda: f(*a)), 1)
+            brk[name + "_chained_ms"] = round(chained(f, a), 1)
+        out["breakdown"] = brk
+
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -38,3 +38,54 @@ def test_entry_compiles_and_runs():
     fn, args = graft.entry()
     out = jax.jit(fn)(*args)
     jax.block_until_ready(out)
+
+
+def test_dryrun_sharding_contract_smoke():
+    """Fast-gate pin of the dryrun's mesh/sharding contract (ADVICE r3):
+    build the real dp x mp mesh, place a mini protocol-layout batch with
+    the REAL PartitionSpecs, and SPMD-lower (not compile) the loss grad
+    over it. Catches axis renames, spec/shape divisibility drift, and
+    batch-key drift in seconds; the full execute+equality proof stays in
+    the slow in-process test + the driver's MULTICHIP run."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.sharding import NamedSharding
+
+    from onepose_tpu.models import gats_spg
+    from onepose_tpu.parallel import mesh as pmesh
+    from onepose_tpu.train import trainer
+
+    n = 8
+    axes = graft._mesh_axes(n)
+    assert axes == (4, 2)
+    mesh = pmesh.make_mesh(n, axes)
+    specs = graft._batch_specs()
+
+    rng = np.random.default_rng(0)
+    dp = axes[0]
+    # tiny shapes, but every sharded axis divisible by its mesh axis
+    b, n1, n2, leaf, d = dp, 8, 16, 2, 32
+    cfg = dict(gats_spg.DEFAULT_CONFIG)
+    cfg.update(descriptor_dim=d, num_blocks=1)
+    batch = {
+        "descriptors2d_query": rng.normal(
+            size=(b, n1, d)).astype(np.float32),
+        "descriptors3d_db": rng.normal(size=(b, n2, d)).astype(np.float32),
+        "descriptors2d_db": rng.normal(
+            size=(b, n2 * leaf, d)).astype(np.float32),
+        "conf_gt": (rng.uniform(size=(b, n1, n2)) < 0.05).astype(np.int32),
+    }
+    assert set(batch) == set(specs), "dryrun batch keys drifted from specs"
+    sharded = {
+        k: jax.device_put(jnp.asarray(v), NamedSharding(mesh, specs[k]))
+        for k, v in batch.items()
+    }
+    params = gats_spg.init_params(jax.random.PRNGKey(0), cfg)
+    grad_fn = jax.jit(jax.grad(
+        functools.partial(trainer.compute_loss, gats_config=cfg)))
+    # lowering succeeding with the sharded operands IS the assertion:
+    # bad axis names / indivisible shards / key drift all raise here
+    grad_fn.lower(params, batch=sharded)
