@@ -106,9 +106,11 @@ def main():
 
     pipe = pipeline.PosePipeline(
         sp_params, gats_params, db,
-        # stem_dtype mirrors the inference-surface default (bf16 stem,
-        # gate-validated by scripts/stem_dtype_gate.py — DESIGN §6d)
-        sp_config={"max_keypoints": MAX_KPTS, "stem_dtype": "bfloat16"},
+        # mirrors the inference-surface default (bf16 DIRECT stem,
+        # gate-validated by scripts/stem_dtype_gate.py --stem direct —
+        # DESIGN §6d; the in-situ extract winner, §6b)
+        sp_config={"max_keypoints": MAX_KPTS, "stem_dtype": "bfloat16",
+                   "stem": "direct"},
         num_hypotheses=NUM_HYPOTHESES)
 
     images = jax.device_put(
@@ -225,6 +227,7 @@ def main():
         "tflops_per_sec": round(tflops, 2) if tflops is not None else None,
         "protocol": PROTOCOL,
         "stem_dtype": "bfloat16",
+        "stem": "direct",
         "loadavg_1min": round(load1, 2),
         "host_idle": bool(0.0 <= load1 <= LOADAVG_IDLE_MAX),
     }))

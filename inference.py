@@ -75,13 +75,19 @@ def inference_core(cfg, data_root, seq_dir, sfm_model_dir, sp_params,
     # defaults. max_keypoints stays the static TPU budget from the config.
     sp_conf = dict(extract_confs()[cfg.network.detection]["conf"])
     sp_conf["max_keypoints"] = cfg.max_keypoints
-    # bf16 stem default at inference: validated reference-free by
-    # scripts/stem_dtype_gate.py on-chip (kpt/match sets bit-stable over
-    # 4 seeds x 5 frames; pose delta p95 0.029 deg vs the PnP solver's
-    # own 0.259 deg key-to-key noise floor; zero cmd bucket flips) —
-    # DESIGN.md §6d. Override with stem_dtype=float32. SfM extraction
-    # keeps fp32 (offline; bit-parity with the reference's HDF5 DB).
+    # bf16 DIRECT stem default at inference: validated reference-free by
+    # scripts/stem_dtype_gate.py --stem direct on-chip (kpt Jaccard
+    # median 1.0 / min 0.998 over 4 seeds x 5 frames; pose delta p95
+    # 0.052 deg vs the PnP solver's own 0.259 deg key-to-key noise
+    # floor; zero cmd bucket flips) — DESIGN.md §6d. The direct+bf16
+    # combination is the measured in-situ extract winner (11.35 vs
+    # 12.53 ms/batch-8, §6b/§6c). Override with stem_dtype=float32
+    # stem=polyphase. SfM extraction keeps fp32 polyphase (offline;
+    # bit-parity with the reference's HDF5 DB).
     sp_conf["stem_dtype"] = str(cfg.get("stem_dtype", "bfloat16"))
+    sp_conf["stem"] = str(cfg.get(
+        "stem",
+        "direct" if sp_conf["stem_dtype"] == "bfloat16" else "polyphase"))
     pipe = pipeline.PosePipeline(
         sp_params, gats_params, db,
         sp_config=sp_conf,

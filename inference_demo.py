@@ -99,8 +99,12 @@ def inference_core(cfg):
     # (/root/reference/inference_demo.py:88-98): nms_radius 3.
     sp_conf = dict(extract_mod.CONFS[cfg.network.detection]["conf"])
     sp_conf["max_keypoints"] = cfg.max_keypoints
-    # bf16 stem default (gate-validated; see inference.py / DESIGN §6d)
+    # bf16 direct stem default (gate-validated; see inference.py /
+    # DESIGN §6d)
     sp_conf["stem_dtype"] = str(cfg.get("stem_dtype", "bfloat16"))
+    sp_conf["stem"] = str(cfg.get(
+        "stem",
+        "direct" if sp_conf["stem_dtype"] == "bfloat16" else "polyphase"))
     pipe = pipeline.PosePipeline(
         sp_params, gats_params, db,
         sp_config=sp_conf,

@@ -41,10 +41,16 @@ DEFAULT_CONFIG = {
     # (docs/DESIGN.md §6 — a compiling kernel is not necessarily right).
     "fused_stem": False,
     # "bfloat16" runs ONLY the stem convs (conv1a/conv1b) in bf16 with
-    # fp32 accumulation: measured 6.56 vs 8.11 ms/batch-8 on v5e (-19%;
-    # fp32 conv already multiplies in bf16 internally, so the win is
-    # pass-count, not 2x). Parity-shifting (keypoint sets move at
-    # threshold boundaries) → opt-in, fp32 default. DESIGN.md §6c.
+    # fp32 accumulation. Measured on v5e (r4 in-situ interleaved A/B of
+    # the FULL extract, chained launches): with the polyphase stem bf16
+    # is in-context NEUTRAL (12.4 vs 12.5 ms/batch-8 — the -17%
+    # isolated-stem win does not survive the downstream layout, DESIGN
+    # §6b's lesson again); the winning combination is
+    # stem="direct" + stem_dtype="bfloat16": extract 11.35 vs 12.53
+    # (-9%; 1-pass bf16 MXU beats the polyphase kernel's 4x FLOP
+    # inflation, while direct fp32 LOSES at 14.0). Parity-shifting at
+    # threshold boundaries → opt-in here; the inference surfaces flip it
+    # behind scripts/stem_dtype_gate.py. DESIGN.md §6c/§6d.
     "stem_dtype": "float32",
     # "polyphase" computes the same stem in space-to-depth (block) form:
     # both convs run on a 256x256 grid with 256-wide channel dims (full MXU
@@ -289,6 +295,17 @@ def dense_heads(params: Params, images: jnp.ndarray,
                 p_stem, images.astype(sdt)).astype(jnp.float32)
         else:
             x = _polyphase_stem(params, images.astype(cdt))
+        encoder = _ENCODER_CHANNELS[3:]  # skip conv1a/conv1b/pool
+    elif stem == "direct":
+        # full-res NHWC stem honoring stem_dtype (the in-situ A/B lever;
+        # DESIGN §6b measured layout-dependent ranking flips, so every
+        # stem variant must be expressible under the same config surface)
+        sdt = jnp.dtype(stem_dtype) if cdt == jnp.float32 else cdt
+        x = images.astype(sdt)
+        for name in ("conv1a", "conv1b"):
+            p = jax.tree.map(lambda t: t.astype(sdt), params[name])
+            x = jax.nn.relu(_conv2d(x, p))
+        x = _maxpool2(x).astype(cdt)
         encoder = _ENCODER_CHANNELS[3:]  # skip conv1a/conv1b/pool
     else:
         x = images.astype(cdt)

@@ -39,7 +39,7 @@ N_SEEDS = 4
 THRESHOLDS = (1.0, 3.0, 5.0)
 
 
-def run_seed(tcp, seed, results):
+def run_seed(tcp, seed, results, stem="polyphase"):
     import jax
 
     import torch
@@ -126,17 +126,20 @@ def run_seed(tcp, seed, results):
         idxs=np.asarray(idxs, np.int64), num_leaf=tcp.NUM_LEAF,
         shape3d=tcp.SHAPE3D)
 
-    # ---- pipelines: fp32 stem vs bf16 stem ----------------------------
-    def make_pipe(stem_dtype):
+    # ---- pipelines: fp32 baseline stem vs the variant under test ------
+    def make_pipe(stem_dtype, stem):
         conf = dict(CONFS["superpoint"]["conf"])
         conf["max_keypoints"] = tcp.MAX_KPTS
         conf["stem_dtype"] = stem_dtype
+        conf["stem"] = stem
         return pipeline.PosePipeline(
             sp_params, gats_params, db, sp_config=conf,
             reproj_threshold=5.0, num_hypotheses=512, refine_iters=4)
 
-    pipe32 = make_pipe("float32")
-    pipe16 = make_pipe("bfloat16")
+    # baseline = the library-default fp32 polyphase path; the candidate
+    # is whatever (stem, bf16) combination the caller wants to ship
+    pipe32 = make_pipe("float32", "polyphase")
+    pipe16 = make_pipe("bfloat16", stem)
 
     n = len(q_poses)
     images = np.stack([
@@ -198,6 +201,15 @@ def main():
     fake.reference_available = lambda: osp.isdir("/root/reference")
     sys.modules.setdefault("conftest", fake)
 
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--stem", default="polyphase",
+                    choices=["polyphase", "direct"],
+                    help="stem layout of the bf16 candidate under test "
+                         "(baseline is always the fp32 polyphase default)")
+    args = ap.parse_args()
+
     import test_chain_parity as tcp
 
     results = {k: [] for k in (
@@ -208,7 +220,7 @@ def main():
             results[f"cmd{int(thr)}_{name}"] = []
 
     for seed in range(N_SEEDS):
-        run_seed(tcp, seed, results)
+        run_seed(tcp, seed, results, stem=args.stem)
         print(f"[stem_dtype_gate] seed {seed} done", file=sys.stderr)
 
     def med(k):
@@ -262,6 +274,7 @@ def main():
         "cmd_bucket_flips_bf16": flips_bf16,
         "cmd_bucket_flips_floor": flips_floor,
         "platform": os.environ.get("JAX_PLATFORMS", "(default)"),
+        "stem": args.stem,
         "verdict_flip_default": bool(verdict),
     }))
 

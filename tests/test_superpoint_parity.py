@@ -160,6 +160,39 @@ def test_polyphase_stem_matches_direct():
     assert bool(jnp.all(o_d.mask == o_p.mask))
 
 
+def test_direct_bf16_stem_close_to_fp32():
+    """The inference-surface default (stem=direct, stem_dtype=bfloat16 —
+    gate-validated on chip, DESIGN §6d) must stay a small perturbation of
+    the fp32 path on CPU too: same shapes, dense scores within bf16
+    rounding, keypoint sets nearly identical."""
+    import jax
+    import jax.numpy as jnp
+
+    from onepose_tpu.models import superpoint
+
+    rng = np.random.default_rng(7)
+    params = superpoint.init_params(jax.random.PRNGKey(3))
+    img = jnp.asarray(rng.uniform(0, 1, (2, 64, 96, 1)).astype(np.float32))
+
+    s32, d32 = superpoint.dense_heads(params, img, stem="direct")
+    s16, d16 = superpoint.dense_heads(params, img, stem="direct",
+                                      stem_dtype="bfloat16")
+    assert s16.dtype == jnp.float32 and d16.dtype == jnp.float32
+    # stem output magnitudes are O(1); bf16 relative error ~2^-8 per conv
+    np.testing.assert_allclose(np.asarray(s16), np.asarray(s32), atol=5e-2)
+
+    cfg = {"max_keypoints": 64}
+    o32 = superpoint.extract(params, img, {**cfg, "stem": "direct"})
+    o16 = superpoint.extract(
+        params, img,
+        {**cfg, "stem": "direct", "stem_dtype": "bfloat16"})
+    a = {tuple(k) for k, m in zip(np.asarray(o32.keypoints[0]),
+                                  np.asarray(o32.mask[0])) if m}
+    b = {tuple(k) for k, m in zip(np.asarray(o16.keypoints[0]),
+                                  np.asarray(o16.mask[0])) if m}
+    assert len(a & b) / max(len(a | b), 1) > 0.9
+
+
 def test_nms_aware_top_k_exact():
     """The two-stage NMS-aware top-k must equal the flat top_k on any
     post-NMS score map (same values AND same indices for valid slots)."""
