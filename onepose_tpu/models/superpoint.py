@@ -363,6 +363,25 @@ def _maxpool_same(x: jnp.ndarray, radius: int) -> jnp.ndarray:
     )
 
 
+def _maxpool_or(mask: jnp.ndarray, radius: int) -> jnp.ndarray:
+    """Boolean dilation: [B, H, W] bool window-OR with window 2r+1,
+    stride 1, SAME. Equivalent to `_maxpool_same(mask.astype(f32)) > 0`
+    but the two separable passes move 1-byte preds instead of 4-byte
+    floats — NMS is HBM-bandwidth-bound, so the mask pools are ~4x
+    cheaper this way."""
+    k = 2 * radius + 1
+    mask = jax.lax.reduce_window(
+        mask, False, jax.lax.bitwise_or,
+        window_dimensions=(1, k, 1), window_strides=(1, 1, 1),
+        padding=((0, 0), (radius, radius), (0, 0)),
+    )
+    return jax.lax.reduce_window(
+        mask, False, jax.lax.bitwise_or,
+        window_dimensions=(1, 1, k), window_strides=(1, 1, 1),
+        padding=((0, 0), (0, 0), (radius, radius)),
+    )
+
+
 def simple_nms(scores: jnp.ndarray, nms_radius: int) -> jnp.ndarray:
     """Iterative max-pool NMS, identical recurrence to the reference
     (superpoint.py:47-62): two suppression rounds re-admitting local maxima of
@@ -370,7 +389,7 @@ def simple_nms(scores: jnp.ndarray, nms_radius: int) -> jnp.ndarray:
     zeros = jnp.zeros_like(scores)
     max_mask = scores == _maxpool_same(scores, nms_radius)
     for _ in range(2):
-        supp_mask = _maxpool_same(max_mask.astype(scores.dtype), nms_radius) > 0
+        supp_mask = _maxpool_or(max_mask, nms_radius)
         supp_scores = jnp.where(supp_mask, zeros, scores)
         new_max_mask = supp_scores == _maxpool_same(supp_scores, nms_radius)
         max_mask = max_mask | (new_max_mask & (~supp_mask))
