@@ -87,15 +87,25 @@ def ransac_similarity(key: jax.Array, src: jnp.ndarray, dst: jnp.ndarray,
     # pass is not a fixed point when the inlier set changes under the
     # refit model (measured ~25 px corner drift on a dihedral scene).
     def refine(carry, _):
-        w, _, _ = carry
-        A, t = _solve_weighted(src, dst, w + 1e-9)
+        w_prev, A_prev, t_prev = carry
+        A, t = _solve_weighted(src, dst, w_prev + 1e-9)
         resid = src @ A.T + t - dst
         err = jnp.sqrt(jnp.sum(resid * resid, axis=1))
         good = (err < threshold) & mask
-        return (good.astype(jnp.float32), A, t), None
+        # Monotone-safety: if an iteration collapses below a minimal inlier
+        # set, the next refit's +1e-9 uniform weights would be an unweighted
+        # fit over ALL correspondences (outliers included) and could discard
+        # the valid RANSAC winner. Keep the previous carry instead.
+        ok = jnp.sum(good) >= 2
+        w_new = jnp.where(ok, good.astype(jnp.float32), w_prev)
+        A_new = jnp.where(ok, A, A_prev)
+        t_new = jnp.where(ok, t, t_prev)
+        return (w_new, A_new, t_new), None
 
-    init = (w, jnp.eye(2, dtype=jnp.float32),
-            jnp.zeros((2,), jnp.float32))
+    # Seed the carry with the winning hypothesis's own model so the guard
+    # above always falls back to a valid estimate (never the identity).
+    A0, t0 = _solve_two_point(src[idx[best]], dst[idx[best]])
+    init = (w, A0.astype(jnp.float32), t0.astype(jnp.float32))
     (w, A, t), _ = jax.lax.scan(refine, init, None, length=4)
     inliers = w > 0.5
     count = jnp.sum(inliers)

@@ -227,18 +227,39 @@ def unfreeze_after(wait_steps: int, frozen_mask) -> "optax.GradientTransformatio
     requires_grad; the idiomatic equivalent is an optax transformation that
     zeroes the *updates* of frozen leaves until the step counter passes the
     threshold — jit-stable (the gate is a traced ``where``, no retrace at
-    the unfreeze boundary) and composable anywhere in the optimizer chain:
+    the unfreeze boundary) and composable in the optimizer chain. Place it
+    BEFORE the inner optimizer so frozen leaves feed zero gradients into
+    Adam/momentum — matching the reference's ``requires_grad=False``, which
+    produces zero optimizer state during the frozen phase:
 
-        tx = optax.chain(trainer.make_optimizer(...),
-                         callbacks.unfreeze_after(5 * steps_per_epoch, mask))
+        tx = optax.chain(callbacks.unfreeze_after(5 * steps_per_epoch, mask),
+                         trainer.make_optimizer(...))
+
+    Placing it *after* the optimizer also freezes the params, but the inner
+    optimizer then still accumulates momentum/second-moment state for frozen
+    leaves, and they get a stale-momentum kick at the unfreeze boundary —
+    a documented divergence from the reference if you choose that order.
 
     ``frozen_mask``: a pytree prefix of the params with True at leaves to
-    freeze, or a callable(params)->mask pytree (optax.masked convention).
-    Callers convert epochs → steps, as with multistep_schedule.
+    freeze (a bool at an internal node freezes that whole subtree), or a
+    callable(params)->mask pytree (optax.masked convention). Callers
+    convert epochs → steps, as with multistep_schedule.
     """
     import jax
     import jax.numpy as jnp
     import optax
+
+    def _broadcast_prefix(mask, updates):
+        """Expand a pytree-prefix mask to the full structure of updates.
+
+        jax.tree.map(f, updates, mask) requires mask to match updates'
+        structure exactly; a genuinely shallower prefix (True at a subtree
+        node) would raise. Flatten updates up to the mask's depth, gate each
+        subtree with its (scalar) mask leaf, and reassemble.
+        """
+        mask_leaves, mask_def = jax.tree.flatten(mask)
+        subtrees = mask_def.flatten_up_to(updates)
+        return mask_leaves, subtrees, mask_def
 
     def init(params):
         del params
@@ -248,11 +269,16 @@ def unfreeze_after(wait_steps: int, frozen_mask) -> "optax.GradientTransformatio
         del params
         mask = frozen_mask(updates) if callable(frozen_mask) else frozen_mask
         live = state.count >= wait_steps
-        new = jax.tree.map(
-            lambda u, m: jnp.where(
+
+        def gate(u, m):
+            return jnp.where(
                 jnp.logical_or(live, jnp.logical_not(m)), u,
-                jnp.zeros_like(u)),
-            updates, mask)
+                jnp.zeros_like(u))
+
+        mask_leaves, subtrees, mask_def = _broadcast_prefix(mask, updates)
+        gated = [jax.tree.map(lambda u, m=m: gate(u, m), sub)
+                 for m, sub in zip(mask_leaves, subtrees)]
+        new = jax.tree.unflatten(mask_def, gated)
         return new, optax.ScaleByScheduleState(count=state.count + 1)
 
     return optax.GradientTransformation(init, update)

@@ -258,3 +258,63 @@ def test_unfreeze_after():
     np.testing.assert_allclose(np.asarray(p["live"]), np.ones(2) - 2.0)
     # frozen leaf trained only for the last 2 steps
     np.testing.assert_allclose(np.asarray(p["frozen"]), np.ones(3) - 1.0)
+
+
+def test_unfreeze_after_prefix_mask():
+    """A genuinely shallower prefix mask (one bool per SUBTREE) must work:
+    the docstring promises optax.masked-style pytree-prefix semantics, and a
+    plain tree.map over (updates, mask) would raise a structure error here
+    (ADVICE r4 medium)."""
+    import jax.numpy as jnp
+    import optax
+
+    from onepose_tpu.train import callbacks
+
+    params = {"backbone": {"w": jnp.ones(3), "b": jnp.ones(1)},
+              "head": {"w": jnp.ones(2)}}
+    # True at the 'backbone' NODE freezes its whole subtree.
+    mask = {"backbone": True, "head": False}
+    tx = optax.chain(callbacks.unfreeze_after(2, mask), optax.sgd(1.0))
+    state = tx.init(params)
+    grads = {"backbone": {"w": jnp.full(3, 0.5), "b": jnp.full(1, 0.5)},
+             "head": {"w": jnp.full(2, 0.5)}}
+
+    p = params
+    for _ in range(4):
+        updates, state = tx.update(grads, state, p)
+        p = optax.apply_updates(p, updates)
+    np.testing.assert_allclose(np.asarray(p["head"]["w"]), np.ones(2) - 2.0)
+    np.testing.assert_allclose(np.asarray(p["backbone"]["w"]),
+                               np.ones(3) - 1.0)
+    np.testing.assert_allclose(np.asarray(p["backbone"]["b"]),
+                               np.ones(1) - 1.0)
+
+
+def test_unfreeze_after_no_momentum_kick():
+    """Placed BEFORE the inner optimizer (documented recommended order),
+    frozen leaves feed zero gradients into momentum during the frozen phase,
+    so the first post-unfreeze step carries no stale-momentum kick — the
+    reference's requires_grad=False behavior (ADVICE r4 low)."""
+    import jax.numpy as jnp
+    import optax
+
+    from onepose_tpu.train import callbacks
+
+    params = {"frozen": jnp.ones(1), "live": jnp.ones(1)}
+    mask = {"frozen": True, "live": False}
+    # Momentum-heavy inner optimizer to make a stale kick visible.
+    tx = optax.chain(callbacks.unfreeze_after(3, mask),
+                     optax.sgd(1.0, momentum=0.9))
+    state = tx.init(params)
+    grads = {"frozen": jnp.full(1, 1.0), "live": jnp.full(1, 1.0)}
+
+    p = params
+    deltas = []
+    for _ in range(4):
+        updates, state = tx.update(grads, state, p)
+        deltas.append(float(updates["frozen"][0]))
+        p = optax.apply_updates(p, updates)
+    # Frozen phase: exactly zero updates (no momentum accumulation).
+    assert deltas[:3] == [0.0, 0.0, 0.0]
+    # First live step: plain -lr*grad, NOT amplified by accumulated momentum.
+    np.testing.assert_allclose(deltas[3], -1.0, rtol=1e-6)

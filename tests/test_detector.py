@@ -82,6 +82,34 @@ def test_similarity_degenerate():
     assert int(res.num_inliers) == 0
 
 
+def test_similarity_irls_collapse_guard():
+    """If an IRLS iteration yields < 2 inliers, the carry must keep the
+    previous valid model rather than refit on uniform ~0 weights over all
+    correspondences (ADVICE r4: inlier-set collapse monotone-safety).
+
+    Construction: 3 exact inliers of a known similarity among many wild
+    outliers (3 > the count-2 any exact-fit outlier pair gets, so the
+    winner is unambiguous), with a tight threshold. The result must be
+    the winner's model, never identity (the pre-fix init carry) or a
+    garbage outlier-inclusive fit."""
+    rng = np.random.default_rng(7)
+    A_gt = 1.2 * np.array([[np.cos(0.3), -np.sin(0.3)],
+                           [np.sin(0.3), np.cos(0.3)]], np.float32)
+    t_gt = np.array([15.0, -5.0], np.float32)
+    n = 32
+    src = rng.uniform(0, 400, (n, 2)).astype(np.float32)
+    dst = rng.uniform(2000, 4000, (n, 2)).astype(np.float32)  # wild
+    dst[:3] = src[:3] @ A_gt.T + t_gt                         # 3 exact
+    mask = np.ones(n, bool)
+    res = similarity.ransac_similarity(
+        jax.random.PRNGKey(3), jnp.asarray(src), jnp.asarray(dst),
+        jnp.asarray(mask), threshold=0.5, num_hypotheses=4096)
+    assert bool(res.success)
+    assert int(res.num_inliers) >= 3
+    np.testing.assert_allclose(np.asarray(res.A), A_gt, atol=1e-2)
+    np.testing.assert_allclose(np.asarray(res.t), t_gt, atol=1.0)
+
+
 def test_crop_img_by_bbox_K_consistency():
     """The two-stage crop must keep reprojection consistent with K_crop."""
     from onepose_tpu.detector import crop_img_by_bbox
