@@ -63,11 +63,12 @@ DEFAULT_CONFIG = {
     "stem": "polyphase",
     # True routes keypoint selection through _nms_aware_top_k's two-stage
     # row-chunked top-k (2.34 vs 4.10 ms/batch-8 standalone at 512x512/
-    # k=1024 on v5e). Ships False: exactly-tied score plateaus can exceed
-    # the per-chunk candidate bound and drop real survivors (see the
-    # _nms_aware_top_k docstring), and in-pipeline the flat top_k is
-    # perf-neutral at protocol shapes because XLA overlaps it. Enable only
-    # for tie-free score maps at much larger image sizes.
+    # k=1024 on v5e). Exact on EVERY input since r5: a per-chunk
+    # truncation certificate falls back to the flat top_k via lax.cond
+    # when a tie plateau floods a chunk (see _nms_aware_top_k). Default
+    # still follows the r4 in-situ finding that XLA overlaps the flat
+    # top_k in-pipeline at protocol shapes; safe to enable at any image
+    # size, wins standalone or at much larger score maps.
     "two_stage_topk": False,
 }
 
@@ -452,14 +453,26 @@ def _nms_aware_top_k(masked: jnp.ndarray, k: int, nms_radius: int,
     top_k, tie-order included. Measured 4.10 -> 2.34 ms/batch-8 at
     512x512/k=1024 on v5e vs the flat jax.lax.top_k.
 
-    CAVEAT — why this ships disabled: exactly-tied scores break the
-    spacing bound. simple_nms keeps EVERY pixel of a constant-score
+    Tie-plateau safety (VERDICT r4 Next #6): exactly-tied scores break
+    the spacing bound — simple_nms keeps EVERY pixel of a constant-score
     region (ties pass ``scores == maxpool``), so a flat saturated area
-    above the keypoint threshold floods its chunk past ``kc`` and the
-    per-chunk truncation drops real survivors. In-pipeline the flat
-    top_k measured perf-neutral at protocol shapes (XLA overlaps it), so
-    exactness wins by default; enable only for score maps known to be
-    tie-free at much larger image sizes.
+    above the keypoint threshold can flood its chunk past ``kc``. The
+    chunked result is exact iff no chunk truncated a VALID candidate:
+    everything a chunk drops is <= its kc-th kept value, and valid
+    entries are strictly positive (invalid = -1.0 sentinel; threshold
+    masking is ``scores > thr`` with thr >= 0), so a boundary value
+    <= 0 proves only invalid entries were dropped. A traced lax.cond
+    falls back to the flat top_k exactly when some chunk's boundary is
+    positive — bit-equal output on every input, fast path whenever the
+    spacing bound actually holds (tie-free maps never fill a chunk).
+    Tie ORDER also matches the flat top_k on the fast path: candidates
+    are gathered chunk-ascending then within-chunk index-ascending,
+    which is row-major order — lax.top_k's own tie rule.
+
+    Still ships default-False: in-pipeline the flat top_k measured
+    perf-neutral at protocol shapes (XLA overlaps it), so the default
+    follows the in-situ measurement, not the standalone one (DESIGN
+    §6b). The flag is now safe to enable at any image size.
     """
     h, w = masked.shape
     ch = 8
@@ -471,8 +484,20 @@ def _nms_aware_top_k(masked: jnp.ndarray, k: int, nms_radius: int,
             v, i = jax.lax.top_k(masked.reshape(nch, ch * w), kc)
             base = jnp.arange(nch, dtype=jnp.int32)[:, None] * (ch * w)
             gi = i.astype(jnp.int32) + base
-            top_scores, ti = jax.lax.top_k(v.reshape(-1), k)
-            return top_scores, jnp.take(gi.reshape(-1), ti)
+            # exactness certificate (kc == ch*w keeps everything — the
+            # outer min() makes that the only tie-unsafe-free case here)
+            safe = jnp.all(v[:, -1] <= 0.0) if kc < ch * w \
+                else jnp.bool_(True)
+
+            def chunked(_):
+                top_scores, ti = jax.lax.top_k(v.reshape(-1), k)
+                return top_scores, jnp.take(gi.reshape(-1), ti)
+
+            def flat(_):
+                fv, fi = jax.lax.top_k(masked.reshape(-1), k)
+                return fv, fi
+
+            return jax.lax.cond(safe, chunked, flat, None)
     return jax.lax.top_k(masked.reshape(-1), k)
 
 

@@ -250,12 +250,13 @@ def test_separable_nms_matches_dense_window():
             np.asarray(simple_nms(x, r)), np.asarray(nms_dense(x, r)))
 
 
-def test_two_stage_topk_disabled_by_default_for_tied_scores():
-    """Why two_stage_topk ships disabled: a flat constant-score region
-    survives simple_nms at EVERY pixel (ties pass scores == maxpool),
-    flooding a chunk past the NMS spacing bound — the chunked top-k then
-    drops real survivors. The default select path must take the flat
-    top_k and keep them all."""
+def test_two_stage_topk_tie_safe():
+    """Adversarial tie plateaus (VERDICT r4 Next #6): a flat constant-score
+    region survives simple_nms at EVERY pixel (ties pass scores ==
+    maxpool), flooding chunks past the NMS spacing bound. The r5
+    truncation-certificate guard must detect this and fall back to the
+    flat top_k — two-stage output bit-equal to flat on every adversarial
+    map, values AND indices (tie order included)."""
     import numpy as np
     import jax
     import jax.numpy as jnp
@@ -263,16 +264,40 @@ def test_two_stage_topk_disabled_by_default_for_tied_scores():
     from onepose_tpu.models.superpoint import _nms_aware_top_k, simple_nms
 
     h, w, k, r = 64, 128, 200, 4
-    dense = np.full((1, h, w), 0.01, np.float32)
-    dense[0, 8:24, :] = 0.5           # flat tied region: 16*128 survivors
-    dense[0, 40, 10:20:2] = 0.3       # a few lower isolated peaks
-    nms = np.asarray(simple_nms(jnp.asarray(dense), r))[0]
-    masked = jnp.asarray(np.where(nms > 0.05, nms, -1.0))
 
-    v_flat, _ = jax.jit(
-        lambda m: _nms_aware_top_k(m, k, r, False))(masked)
-    assert int((np.asarray(v_flat) == 0.5).sum()) == k  # all from the flat
-    # the chunked variant WOULD drop survivors here (documented caveat)
-    v_two, _ = jax.jit(
-        lambda m: _nms_aware_top_k(m, k, r, True))(masked)
-    assert int((np.asarray(v_two) == 0.5).sum()) < k
+    def cases():
+        # (a) the r4 caveat map: one saturated band + isolated peaks
+        d = np.full((1, h, w), 0.01, np.float32)
+        d[0, 8:24, :] = 0.5
+        d[0, 40, 10:20:2] = 0.3
+        yield d
+        # (b) whole map one tied plateau above threshold
+        yield np.full((1, h, w), 0.7, np.float32)
+        # (c) tie group EXACTLY straddling the k boundary, spread
+        # across chunks
+        d = np.full((1, h, w), 0.0, np.float32)
+        d[0, ::8, ::8] = 0.25          # 8*16 = 128 tied survivors
+        d[0, 1::16, 4::32] = 0.9       # 16 distinct-ish high peaks
+        yield d
+        # (d) plateau below threshold only (guard must NOT trip: the
+        # boundary values are invalid)
+        d = np.full((1, h, w), 0.001, np.float32)
+        d[0, 8::16, 8::16] = np.linspace(
+            0.1, 0.9, len(range(8, h, 16)) * len(range(8, w, 16))
+        ).reshape(len(range(8, h, 16)), len(range(8, w, 16)))
+        yield d
+
+    for ci, dense in enumerate(cases()):
+        nms = np.asarray(simple_nms(jnp.asarray(dense), r))[0]
+        masked = jnp.asarray(np.where(nms > 0.05, nms, -1.0))
+        v_flat, i_flat = jax.jit(
+            lambda m: _nms_aware_top_k(m, k, r, False))(masked)
+        v_two, i_two = jax.jit(
+            lambda m: _nms_aware_top_k(m, k, r, True))(masked)
+        np.testing.assert_array_equal(
+            np.asarray(v_flat), np.asarray(v_two),
+            err_msg=f"case {ci}: values diverge")
+        valid = np.asarray(v_flat) > 0
+        np.testing.assert_array_equal(
+            np.asarray(i_flat)[valid], np.asarray(i_two)[valid],
+            err_msg=f"case {ci}: indices diverge (tie order)")
