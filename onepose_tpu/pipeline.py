@@ -126,27 +126,46 @@ class PosePipeline:
                  use_pallas_match: bool = False,
                  mesh=None):
         """``mesh``: optional ``jax.sharding.Mesh`` with a 'data' axis —
-        params and the 3D DB are replicated, each call's frame batch is
-        sharded over 'data', and XLA runs the whole frame→pose program
-        data-parallel across the mesh (the data-axis size must divide
-        the batch).
+        params are replicated and each call's frame batch is sharded over
+        'data', so XLA runs the whole frame→pose program data-parallel
+        across the mesh (the data-axis size must divide the batch).
+
+        When the mesh also has a 'model' axis of size > 1, the 3D DB is
+        sharded over it along the 3D-token axis (descriptors3d
+        [N2, D] → P('model', None), the leaf descriptors and mask
+        likewise) whenever N2 divides the axis; the GATs/SuperGlue
+        attention then runs model-parallel over the 3D tokens with XLA
+        inserting the collectives, and the PnP gather all-gathers the
+        (small) keypoints3d. Non-divisible shapes fall back to
+        replication — same math either way (pinned by
+        tests/test_mp4.py::test_full_pipeline_mp4_pose_equality).
         """
         self.mesh = mesh
+        n_model = 1
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
             rep = NamedSharding(mesh, P())
             self._batch_sharding = NamedSharding(mesh, P("data"))
             put = lambda t: jax.device_put(t, rep)  # noqa: E731
+            n_model = dict(mesh.shape).get("model", 1)
+
+            def put_db(t):
+                t = jnp.asarray(t)
+                if n_model > 1 and t.shape[0] % n_model == 0:
+                    spec = P("model", *([None] * (t.ndim - 1)))
+                    return jax.device_put(t, NamedSharding(mesh, spec))
+                return put(t)
         else:
             put = jnp.asarray
+            put_db = jnp.asarray
         self.sp_params = jax.tree.map(put, sp_params)
         self.gats_params = jax.tree.map(put, gats_params)
         self.db = {
-            "keypoints3d": put(jnp.asarray(db.keypoints3d)),
-            "descriptors3d": put(jnp.asarray(db.descriptors3d)),
-            "descriptors2d_db": put(jnp.asarray(db.descriptors2d_db)),
-            "mask3d": put(jnp.asarray(db.mask3d)),
+            "keypoints3d": put_db(db.keypoints3d),
+            "descriptors3d": put_db(db.descriptors3d),
+            "descriptors2d_db": put_db(db.descriptors2d_db),
+            "mask3d": put_db(db.mask3d),
         }
         sp_cfg = dict(superpoint.DEFAULT_CONFIG)
         sp_cfg.update(sp_config or {})

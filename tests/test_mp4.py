@@ -143,3 +143,62 @@ def test_matcher_mp4_shape3d_4096():
     # really sharded over the mesh
     assert len(out_m.matches0.sharding.device_set) == 8
     jax.clear_caches()
+
+
+@pytest.mark.slow
+def test_full_pipeline_mp4_pose_equality():
+    """The FULL fused frame→pose program under model-axis 4 (VERDICT r4
+    Next #5): PosePipeline on a (2, 4) mesh — batch over 'data', the 3D
+    DB sharded over 'model' along the token axis — must produce the same
+    matches, successes, and poses as the single-device pipeline at
+    protocol shapes (512x512, shape3d=2000, max_keypoints=1024)."""
+    from onepose_tpu import pipeline
+    from onepose_tpu.datasets import anno
+    from onepose_tpu.models import superpoint
+
+    mesh = pmesh.make_mesh(8, (2, 4))
+    rng = np.random.default_rng(2)
+    shape3d, leaf = 2000, 8
+    Pn = shape3d - 4
+    idxs = rng.integers(2, leaf * 2, Pn)
+    total = int(idxs.sum())
+    db = anno.build_object_db(
+        avg_keypoints3d=rng.uniform(-0.1, 0.1, (Pn, 3)).astype(np.float32),
+        avg_descriptors3d=rng.normal(size=(256, Pn)).astype(np.float32),
+        avg_scores3d=rng.uniform(0, 1, (Pn, 1)).astype(np.float32),
+        clt_descriptors=rng.normal(size=(256, total)).astype(np.float32),
+        clt_scores=rng.uniform(0, 1, (total, 1)).astype(np.float32),
+        idxs=idxs, num_leaf=leaf, shape3d=shape3d)
+
+    key = jax.random.PRNGKey(0)
+    sp_params = superpoint.init_params(key)
+    gats_params = gats_spg.init_params(key)
+    kw = dict(sp_config={"max_keypoints": 1024}, num_hypotheses=128)
+
+    pipe_mp = pipeline.PosePipeline(sp_params, gats_params, db,
+                                    mesh=mesh, **kw)
+    pipe_one = pipeline.PosePipeline(sp_params, gats_params, db, **kw)
+    # the DB really is model-sharded 4 ways (not silently replicated)
+    assert len(pipe_mp.db["descriptors3d"].sharding.device_set) == 8
+    spec = pipe_mp.db["descriptors3d"].sharding.spec
+    assert spec[0] == "model", spec
+
+    b = 2
+    images = rng.uniform(0, 1, (b, 512, 512, 1)).astype(np.float32)
+    Ks = np.broadcast_to(
+        np.array([[460.0, 0, 256], [0, 460.0, 256], [0, 0, 1]],
+                 np.float32), (b, 3, 3)).copy()
+    keys = jax.random.split(jax.random.PRNGKey(1), b)
+
+    out_m = pipe_mp(images, Ks, keys)
+    out_s = pipe_one(images, Ks, keys)
+    np.testing.assert_array_equal(
+        np.asarray(out_m.matches0), np.asarray(out_s.matches0),
+        err_msg="mp=4 pipeline matches != single-device matches")
+    np.testing.assert_array_equal(
+        np.asarray(out_m.success), np.asarray(out_s.success))
+    np.testing.assert_allclose(
+        np.asarray(out_m.poses), np.asarray(out_s.poses),
+        rtol=1e-4, atol=1e-5,
+        err_msg="mp=4 pipeline poses != single-device poses")
+    jax.clear_caches()
