@@ -279,12 +279,69 @@ def export_scene_html(out_path: str,
     return out_path
 
 
-def dump_wis3d(*args, **kwargs):  # pragma: no cover
-    """Interactive 3D dump — optional dependency, absent in this image."""
+def dump_wis3d(idx: int, vis_dir: str, seq_name: str,
+               image0, image1, image_full,
+               kpts2d: np.ndarray, kpts2d_reproj: np.ndarray,
+               confidence: np.ndarray,
+               inliers: Optional[np.ndarray] = None):
+    """Per-frame interactive correspondence dump via wis3d, when the
+    (optional) wis3d package is importable; a printed skip otherwise.
+
+    Role of the reference's dump_wis3d
+    (/root/reference/src/utils/vis_utils.py:398-433): one Wis3D scene per
+    frame index holding the query↔reprojected keypoint correspondences
+    (with per-match confidence, reprojection distance, and inlier flags)
+    plus the rendered full-resolution result image. The dependency-free
+    ``export_scene_html`` covers the 3D-scene role in images without
+    wis3d.
+
+    ``image0``/``image1``: grayscale or RGB arrays (or PIL images);
+    ``image_full``: BGR uint8 render (cv2 convention, like the demo
+    path); ``inliers``: index array into kpts2d or None.
+    Returns the Wis3D handle, or None when wis3d is unavailable.
+    """
     try:
-        import wis3d  # noqa: F401
+        from wis3d import Wis3D
     except ImportError:
         print("[vis] wis3d not available; skipping interactive dump")
         return None
-    raise NotImplementedError(
-        "wis3d present but dump not implemented; use save_demo_image")
+
+    kpts2d = np.asarray(kpts2d, np.float64).reshape(-1, 2)
+    kpts2d_reproj = np.asarray(kpts2d_reproj, np.float64).reshape(-1, 2)
+    confidence = np.asarray(confidence, np.float64).reshape(-1)
+    reproj_distance = np.linalg.norm(kpts2d_reproj - kpts2d, axis=1)
+    inlier_flags = np.zeros((kpts2d.shape[0], 1), dtype=bool)
+    if inliers is not None:
+        inlier_flags[np.asarray(inliers, np.int64)] = True
+    n_inliers = int(inlier_flags.sum())
+
+    def as_pil(img, bgr=False):
+        try:
+            from PIL import Image
+        except ImportError:
+            return img
+        arr = np.asarray(img)
+        if arr.dtype != np.uint8:
+            arr = np.clip(arr * 255 if arr.max() <= 1.0 + 1e-6 else arr,
+                          0, 255).astype(np.uint8)
+        if bgr and arr.ndim == 3:
+            arr = arr[..., ::-1]
+        return Image.fromarray(arr)
+
+    img0 = as_pil(image0)
+    img1 = as_pil(image1)
+    w, h = getattr(img0, "size", (np.asarray(image0).shape[1],
+                                  np.asarray(image0).shape[0]))
+
+    vis = Wis3D(vis_dir, seq_name)
+    vis.set_scene_id(idx)
+    vis.add_keypoint_correspondences(
+        img0, img1, kpts2d, kpts2d_reproj,
+        metrics={"mconf": confidence.tolist(),
+                 "reproj_distance": reproj_distance.tolist()},
+        booleans={"inliers": inlier_flags.tolist()},
+        meta={"num_inliers": n_inliers, "width": w, "height": h},
+        name="matches")
+    if image_full is not None:
+        vis.add_image(as_pil(image_full, bgr=True), name="results")
+    return vis
