@@ -19,6 +19,90 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def run_latency_sweep(server, n_objects: int, args):
+    """Per-request latency distribution vs offered load through the async
+    latency-triggered batching path (PoseServer.submit + _serve_loop) —
+    the number a serving layer exists to control (VERDICT r4 Next #4).
+
+    Capacity anchor: the synchronous per-batch wall time (dispatch +
+    fetch), which is what the serial serve loop can sustain. Offered
+    loads are Poisson arrivals at fractions of that capacity, including
+    one overload point past the knee.
+    """
+    import json
+    import time
+
+    from onepose_tpu import serving as serving_mod
+
+    rng = np.random.default_rng(7)
+    H = W = 512
+    img = rng.uniform(0, 1, (H, W)).astype(np.float32)
+    K = np.array([[460.0, 0, W / 2], [0, 460.0, H / 2], [0, 0, 1]],
+                 np.float32)
+
+    def req(j):
+        return serving_mod.PoseRequest(f"obj{j % n_objects:02d}", img, K)
+
+    warm = [req(j) for j in range(server.batch_size)]
+    t0 = time.time()
+    server.infer_batch(warm)  # compile
+    print(f"[bench_serving] serve step compiled in {time.time()-t0:.0f}s",
+          flush=True)
+    t0 = time.perf_counter()
+    reps = 6
+    for _ in range(reps):
+        server.infer_batch(warm)
+    batch_wall_ms = (time.perf_counter() - t0) / reps * 1000.0
+    capacity = server.batch_size / batch_wall_ms * 1000.0  # req/s
+
+    server.start()
+    points = []
+    try:
+        for frac in (0.25, 0.5, 0.75, 0.9, 1.2):
+            rate = capacity * frac
+            n_req = args.latency_requests
+            lats = []
+            futs = []
+            arr = np.random.default_rng(int(frac * 100)).exponential(
+                1.0 / rate, n_req).cumsum()
+            start = time.perf_counter()
+            for j in range(n_req):
+                while time.perf_counter() - start < arr[j]:
+                    time.sleep(0.0002)
+                ts = time.perf_counter()
+                fut = server.submit(req(j))
+                fut.add_done_callback(
+                    lambda f, ts=ts: lats.append(
+                        (time.perf_counter() - ts) * 1000.0))
+                futs.append(fut)
+            for f in futs:
+                f.result(timeout=120)
+            wall = time.perf_counter() - start
+            p50, p95, p99 = np.percentile(lats, [50, 95, 99])
+            points.append({
+                "offered_frac": frac,
+                "offered_req_per_s": round(rate, 1),
+                "achieved_req_per_s": round(n_req / wall, 1),
+                "p50_ms": round(float(p50), 1),
+                "p95_ms": round(float(p95), 1),
+                "p99_ms": round(float(p99), 1),
+            })
+            print(f"[bench_serving] load {frac:.2f}x: {points[-1]}",
+                  flush=True)
+    finally:
+        server.stop()
+
+    print(json.dumps({
+        "metric": "serving_latency_sweep",
+        "n_objects": n_objects,
+        "batch_size": server.batch_size,
+        "assembly_timeout_ms": round(server.max_latency_s * 1000.0, 1),
+        "sync_batch_wall_ms": round(batch_wall_ms, 2),
+        "capacity_req_per_s": round(capacity, 1),
+        "points": points,
+    }))
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -60,7 +144,23 @@ def main():
                     help="time the uniform-batch fast path (all requests "
                          "in a batch name the same object) instead of the "
                          "mixed-object program")
+    ap.add_argument("--latency", action="store_true",
+                    help="drive the async latency-triggered batching path "
+                         "at several offered loads and report per-request "
+                         "p50/p95/p99 latency + the throughput-latency "
+                         "knee (VERDICT r4 Next #4), instead of the "
+                         "saturation chained-protocol number")
+    ap.add_argument("--latency-requests", type=int, default=240,
+                    help="requests per offered-load point")
+    ap.add_argument("--max-latency-ms", type=float, default=20.0,
+                    help="server batch-assembly timeout (max_latency_s)")
     args = ap.parse_args()
+
+    from onepose_tpu.utils.jax_cache import enable_persistent_cache
+
+    cache_dir = enable_persistent_cache()
+    print(f"[bench_serving] persistent compile cache: {cache_dir}",
+          flush=True)
 
     t0 = _t.time()
     n_objects = args.n_objects
@@ -74,9 +174,14 @@ def main():
     t0 = _t.time()
     server = serving.PoseServer(
         sp_params, gats_params, dbs, sp_config={"max_keypoints": 1024},
-        batch_size=8, num_hypotheses=512, seed=1)
+        batch_size=8, num_hypotheses=512, seed=1,
+        max_latency_s=args.max_latency_ms / 1000.0)
     print(f"[bench_serving] catalog resident in {_t.time()-t0:.0f}s",
           flush=True)
+
+    if args.latency:
+        run_latency_sweep(server, n_objects, args)
+        return
 
     B, H, W = 8, 512, 512
     images = jax.device_put(

@@ -113,6 +113,57 @@ def test_async_serving():
         server.stop()
 
 
+def test_assembly_timeout_behavior():
+    """Pins the latency-triggered batch assembly contract (VERDICT r4
+    Next #4): (a) a partial batch dispatches once max_latency_s expires
+    rather than waiting for batch_size requests; (b) a full batch
+    dispatches without waiting out the timeout."""
+    import time
+
+    rng = np.random.default_rng(3)
+    key = jax.random.PRNGKey(3)
+    sp_params = superpoint.init_params(key)
+    gats_params = gats_spg.init_params(key)
+    dbs = {"obj": make_db(rng)}
+    timeout_s = 0.25
+    server = serving.PoseServer(
+        sp_params, gats_params, dbs,
+        sp_config={"max_keypoints": 64}, batch_size=4,
+        max_latency_s=timeout_s, num_hypotheses=32, refine_iters=2)
+    K = np.array([[460.0, 0, 32], [0, 460.0, 32], [0, 0, 1]], np.float32)
+
+    def req():
+        return serving.PoseRequest(
+            "obj", rng.uniform(0, 1, (64, 64)).astype(np.float32), K)
+
+    # warm the serve program so compile time doesn't pollute the clocks
+    server.infer_batch([req()])
+
+    server.start()
+    try:
+        # (a) ONE request into a batch_size-4 server: must complete after
+        # ~timeout (the assembly deadline fires), well before any larger
+        # multiple of it
+        t0 = time.perf_counter()
+        res = server.submit(req()).result(timeout=60)
+        partial_wall = time.perf_counter() - t0
+        assert res["success"] in (True, False)
+        assert partial_wall < timeout_s * 10, partial_wall
+
+        # (b) a full batch submitted at once: the loop must dispatch on
+        # count, not wait out the deadline. Timeout set long enough that
+        # waiting it out would be unambiguous on a loaded CI host.
+        server.max_latency_s = 30.0
+        t0 = time.perf_counter()
+        futs = [server.submit(req()) for _ in range(4)]
+        for f in futs:
+            f.result(timeout=60)
+        full_wall = time.perf_counter() - t0
+        assert full_wall < 15.0, full_wall
+    finally:
+        server.stop()
+
+
 def test_mismatched_db_shapes_rejected():
     rng = np.random.default_rng(2)
     key = jax.random.PRNGKey(2)
