@@ -65,20 +65,39 @@ PEAK_FLOPS = {
     "TPU v6 lite": 918e12,  # v6e / Trillium
 }
 
+# HBM bandwidth per chip, bytes/s (public spec sheets).
+PEAK_HBM_BPS = {
+    "TPU v4": 1228e9,
+    "TPU v5 lite": 819e9,
+    "TPU v5e": 819e9,
+    "TPU v5": 2765e9,      # v5p
+    "TPU v6 lite": 1640e9,  # v6e / Trillium
+}
+
 
 def main():
     load1 = host_load()
     if load1 > LOADAVG_IDLE_MAX and not os.environ.get("BENCH_IGNORE_LOAD"):
         import sys
         import time
-        # Give transient load (e.g. a just-finished test run) one chance
-        # to drain before refusing to produce a misleading number.
-        print(f"bench.py: 1-min loadavg {load1:.2f} > {LOADAVG_IDLE_MAX} "
-              "on a 1-core host; waiting 60s for it to drain "
-              "(set BENCH_IGNORE_LOAD=1 to measure anyway)...",
-              file=sys.stderr)
-        time.sleep(60)
-        load1 = host_load()
+        # Give transient load (e.g. a just-finished test run) a bounded
+        # window to drain, then REFUSE rather than print a misleading
+        # number (ADVICE r4: the old single-sleep path proceeded
+        # unconditionally and only flagged host_idle in the JSON).
+        for attempt in range(8):  # up to 8 min
+            print(f"bench.py: 1-min loadavg {load1:.2f} > {LOADAVG_IDLE_MAX}"
+                  " on a 1-core host; waiting 60s for it to drain "
+                  f"[{attempt + 1}/8] (set BENCH_IGNORE_LOAD=1 to measure "
+                  "anyway)...", file=sys.stderr)
+            time.sleep(60)
+            load1 = host_load()
+            if load1 <= LOADAVG_IDLE_MAX:
+                break
+        else:
+            print(f"bench.py: host still loaded ({load1:.2f}) after 8 min; "
+                  "refusing to emit a host-bound number. Re-run on an idle "
+                  "box or set BENCH_IGNORE_LOAD=1.", file=sys.stderr)
+            sys.exit(3)
 
     import jax
     import jax.numpy as jnp
@@ -194,24 +213,56 @@ def main():
     }
 
     # --- FLOP-based MFU (XLA cost analysis of the full fused program) ---
+    # and the per-stage roofline (VERDICT r4 Next #3): FLOPs AND bytes
+    # accessed per stage vs chip peaks → which stages are bandwidth-bound
+    # and what the best-achievable total_ms is under this toolchain.
     mfu = tflops = None
-    try:
-        lowered = pipeline._frame_to_pose_jit.lower(
-            pipe.sp_params, pipe.gats_params, pipe.db, images, Ks,
-            jnp.asarray(keys), sp_cfg_items, gats_cfg_items,
-            pipe.reproj_threshold, pipe.num_hypotheses, pipe.refine_iters,
-            pipe.use_pallas_match)
-        cost = lowered.compile().cost_analysis()
+    roofline = None
+    kind = jax.devices()[0].device_kind
+    peak_flops = next((v for k, v in PEAK_FLOPS.items() if k in kind), None)
+    peak_bw = next((v for k, v in PEAK_HBM_BPS.items() if k in kind), None)
+
+    def cost_of(f):
+        cost = f.lower(jnp.float32(0.0), *operands).compile().cost_analysis()
         if isinstance(cost, (list, tuple)):
             cost = cost[0]
-        flops_per_batch = float(cost.get("flops", 0.0))
+        return (float(cost.get("flops", 0.0)),
+                float(cost.get("bytes accessed", 0.0)))
+
+    try:
+        fl3, by3 = cost_of(p3)
+        flops_per_batch = fl3
         if flops_per_batch > 0:
             tflops = flops_per_batch * fps / BATCH / 1e12
-            kind = jax.devices()[0].device_kind
-            peak = next((v for k, v in PEAK_FLOPS.items() if k in kind),
-                        None)
-            if peak is not None:
-                mfu = tflops * 1e12 / peak
+            if peak_flops is not None:
+                mfu = tflops * 1e12 / peak_flops
+        if peak_flops is not None and peak_bw is not None:
+            fl1, by1 = cost_of(p1)
+            fl2, by2 = cost_of(p2)
+            # prefix differences, consistent with the stage-ms attribution
+            stage_cost = {
+                "extract": (fl1, by1, extract_ms),
+                "match": (fl2 - fl1, by2 - by1, prefix2_ms - extract_ms),
+                "pnp": (fl3 - fl2, by3 - by2, total_ms - prefix2_ms),
+            }
+            roofline = {}
+            total_min = 0.0
+            for name, (fl, by, meas) in stage_cost.items():
+                t_fl = fl / peak_flops * 1e3
+                t_by = by / peak_bw * 1e3
+                lo = max(t_fl, t_by)
+                total_min += lo
+                roofline[name] = {
+                    "flops_g": round(fl / 1e9, 1),
+                    "bytes_mb": round(by / 1e6, 1),
+                    "bound": "bytes" if t_by >= t_fl else "flops",
+                    "bytes_bound_frac": round(
+                        t_by / max(lo, 1e-12), 3),
+                    "min_ms": round(lo, 2),
+                    "measured_ms": round(meas, 2),
+                    "roofline_eff": round(lo / max(meas, 1e-9), 3),
+                }
+            roofline["total_min_ms"] = round(total_min, 2)
     except Exception:
         pass
 
@@ -225,6 +276,7 @@ def main():
         "stages": stages,
         "mfu": round(mfu, 4) if mfu is not None else None,
         "tflops_per_sec": round(tflops, 2) if tflops is not None else None,
+        "roofline": roofline,
         "protocol": PROTOCOL,
         "stem_dtype": "bfloat16",
         "stem": "direct",

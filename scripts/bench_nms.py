@@ -80,6 +80,23 @@ def main():
                 ).astype(jnp.float32)
 
     out["extract_ms"] = round(chain_time(f_extract, (sp, img)), 2)
+
+    # the adjacent untried lever (VERDICT r4 Next #1b): the FULL conv
+    # encoder in bf16 (score/descriptor heads' softmax/normalization
+    # stay fp32 — models/superpoint.py compute_dtype), in-situ A/B
+    # against the shipped config above
+    cfg16 = dict(cfg)
+    cfg16["compute_dtype"] = "bfloat16"
+    items16 = tuple(sorted(cfg16.items()))
+
+    @jax.jit
+    def f_extract16(e, p, im):
+        kp, sc, ds, m = spx._extract_jit(p, im + e * 1e-30, items16)
+        return (jnp.sum(sc) + jnp.sum(kp) + jnp.sum(ds)
+                ).astype(jnp.float32)
+
+    out["extract_bf16_encoder_ms"] = round(
+        chain_time(f_extract16, (sp, img)), 2)
     print(json.dumps(out))
 
 

@@ -158,39 +158,76 @@ def main():
         import jax
         import jax.numpy as jnp
 
-        def timed(fn, reps=20):
+        from onepose_tpu.utils.chipbench import chain_time
+
+        # NOTE: jax.block_until_ready returns before execution completes
+        # on the tunneled backend (verify SKILL.md gotcha) — every timing
+        # here forces a real host FETCH of a scalar instead.
+        def timed_fetch(fn, reps=20):
             ts = []
             for _ in range(reps):
                 t0 = time.perf_counter()
-                jax.block_until_ready(fn())
+                fn()  # must end in a host fetch
                 ts.append((time.perf_counter() - t0) * 1000.0)
             return float(np.median(ts))
 
-        # pure dispatch+sync round trip on a trivial scalar program: the
-        # floor any single dispatch pays on this link
+        # pure dispatch+fetch round trip on a trivial scalar program: the
+        # floor any single synchronous dispatch pays on this link
         trivial = jax.jit(lambda x: x + 1.0)
         x0 = jnp.float32(0.0)
-        jax.block_until_ready(trivial(x0))  # compile
-        rtt = timed(lambda: trivial(x0))
+        float(trivial(x0))  # compile + first exec
+        rtt = timed_fetch(lambda: float(trivial(x0)))
 
-        # each fused dispatch re-timed on its captured (warm) operands:
-        # sync wall = RTT + device time; chained (N async dispatches, one
-        # sync) amortizes the RTT and exposes device/dispatch-bound cost
-        def chained(f, a, n=10):
-            t0 = time.perf_counter()
-            outs = [f(*a) for _ in range(n)]
-            jax.block_until_ready(outs)
-            return (time.perf_counter() - t0) * 1000.0 / n
+        def scalarize(tree):
+            leaves = [x for x in jax.tree.leaves(tree)
+                      if hasattr(x, "dtype")]
+            return sum(jnp.sum(x.astype(jnp.float32)) for x in leaves)
 
         brk = {"rtt_ms": round(rtt, 1)}
-        for name, f in (("track_step", orig_track_step),
-                        ("ba_step", orig_ba_step)):
-            a = captured.get(name.split("_")[0]
-                             if name == "track_step" else "ba")
+
+        # per-frame HOST->DEVICE upload cost: the tracked loop uploads a
+        # fresh image + keypoints + descriptors every frame; on an HTTP
+        # tunnel this is a real per-frame term the dispatch timings
+        # cannot see. Fetch a scalar that depends on the uploaded data.
+        kp_h, ds_h, mask_h = padded(frames[1])
+        img_h = frames[1]["image"]
+        up_bytes = (img_h.nbytes + kp_h.nbytes + ds_h.nbytes
+                    + mask_h.nbytes)
+        touch = jax.jit(lambda *a: sum(jnp.sum(x.astype(jnp.float32))
+                                       for x in a))
+        float(touch(jax.device_put(img_h), jax.device_put(kp_h),
+                    jax.device_put(ds_h), jax.device_put(mask_h)))
+
+        def upload_once():
+            d = [jax.device_put(x) for x in (img_h, kp_h, ds_h, mask_h)]
+            return float(touch(*d))
+
+        brk["upload_ms"] = round(timed_fetch(upload_once) - rtt, 1)
+        brk["upload_bytes"] = int(up_bytes)
+
+        # each fused dispatch re-timed on its captured (warm, device-
+        # resident) operands through the chained-scalar protocol:
+        # chained_ms isolates device+dispatch cost (RTT amortized over
+        # n_iters); sync_ms = one dispatch + one fetch, the latency a
+        # caller actually observes per call.
+        for name, f, key_, n_static in (
+                ("track_step", orig_track_step, "track", 2),
+                ("ba_step", orig_ba_step, "ba", 3)):
+            a = captured.get(key_)
             if a is None:
                 continue
-            brk[name + "_sync_ms"] = round(timed(lambda: f(*a)), 1)
-            brk[name + "_chained_ms"] = round(chained(f, a), 1)
+            arrs, statics = a[:-n_static], a[-n_static:]
+
+            @jax.jit
+            def g(e, *arrs, _f=f, _st=statics):
+                first = arrs[0] + e * jnp.asarray(1e-30, arrs[0].dtype)
+                return scalarize(
+                    _f(first, *arrs[1:], *_st)).astype(jnp.float32)
+
+            brk[name + "_chained_ms"] = round(
+                chain_time(g, arrs, n_iters=10, blocks=3), 1)
+            brk[name + "_sync_ms"] = round(
+                timed_fetch(lambda: float(scalarize(f(*a)))), 1)
         out["breakdown"] = brk
 
     print(json.dumps(out))

@@ -39,7 +39,8 @@ N_SEEDS = 4
 THRESHOLDS = (1.0, 3.0, 5.0)
 
 
-def run_seed(tcp, seed, results, stem="polyphase"):
+def run_seed(tcp, seed, results, stem="polyphase",
+             compute_dtype="float32"):
     import jax
 
     import torch
@@ -127,19 +128,22 @@ def run_seed(tcp, seed, results, stem="polyphase"):
         shape3d=tcp.SHAPE3D)
 
     # ---- pipelines: fp32 baseline stem vs the variant under test ------
-    def make_pipe(stem_dtype, stem):
+    def make_pipe(stem_dtype, stem, cdt="float32"):
         conf = dict(CONFS["superpoint"]["conf"])
         conf["max_keypoints"] = tcp.MAX_KPTS
         conf["stem_dtype"] = stem_dtype
         conf["stem"] = stem
+        conf["compute_dtype"] = cdt
         return pipeline.PosePipeline(
             sp_params, gats_params, db, sp_config=conf,
             reproj_threshold=5.0, num_hypotheses=512, refine_iters=4)
 
     # baseline = the library-default fp32 polyphase path; the candidate
-    # is whatever (stem, bf16) combination the caller wants to ship
+    # is whatever (stem, bf16, compute_dtype) combo the caller wants to
+    # ship (compute_dtype="bfloat16" = the FULL conv encoder on the MXU
+    # in bf16, not just the stem — VERDICT r4 Next #1b)
     pipe32 = make_pipe("float32", "polyphase")
-    pipe16 = make_pipe("bfloat16", stem)
+    pipe16 = make_pipe("bfloat16", stem, compute_dtype)
 
     n = len(q_poses)
     images = np.stack([
@@ -208,6 +212,12 @@ def main():
                     choices=["polyphase", "direct"],
                     help="stem layout of the bf16 candidate under test "
                          "(baseline is always the fp32 polyphase default)")
+    ap.add_argument("--compute-dtype", default="float32",
+                    choices=["float32", "bfloat16"],
+                    help="encoder compute dtype of the candidate: "
+                         "'bfloat16' gates the FULL conv encoder in bf16 "
+                         "(score/descriptor heads' softmax/normalization "
+                         "stay fp32), on top of the bf16 stem")
     args = ap.parse_args()
 
     import test_chain_parity as tcp
@@ -220,7 +230,8 @@ def main():
             results[f"cmd{int(thr)}_{name}"] = []
 
     for seed in range(N_SEEDS):
-        run_seed(tcp, seed, results, stem=args.stem)
+        run_seed(tcp, seed, results, stem=args.stem,
+                 compute_dtype=args.compute_dtype)
         print(f"[stem_dtype_gate] seed {seed} done", file=sys.stderr)
 
     def med(k):
@@ -275,6 +286,7 @@ def main():
         "cmd_bucket_flips_floor": flips_floor,
         "platform": os.environ.get("JAX_PLATFORMS", "(default)"),
         "stem": args.stem,
+        "compute_dtype": args.compute_dtype,
         "verdict_flip_default": bool(verdict),
     }))
 
