@@ -129,7 +129,7 @@ def main():
         # gate-validated by scripts/stem_dtype_gate.py --stem direct —
         # DESIGN §6d; the in-situ extract winner, §6b)
         sp_config={"max_keypoints": MAX_KPTS, "stem_dtype": "bfloat16",
-                   "stem": "direct"},
+                   "stem": "direct", "compute_dtype": "bfloat16"},
         num_hypotheses=NUM_HYPOTHESES)
 
     images = jax.device_put(
@@ -280,6 +280,7 @@ def main():
         "protocol": PROTOCOL,
         "stem_dtype": "bfloat16",
         "stem": "direct",
+        "compute_dtype": "bfloat16",
         "loadavg_1min": round(load1, 2),
         "host_idle": bool(0.0 <= load1 <= LOADAVG_IDLE_MAX),
     }))

@@ -88,6 +88,16 @@ def inference_core(cfg, data_root, seq_dir, sfm_model_dir, sp_params,
     sp_conf["stem"] = str(cfg.get(
         "stem",
         "direct" if sp_conf["stem_dtype"] == "bfloat16" else "polyphase"))
+    # r5: full-encoder bf16 (fp32 heads) — extract 11.0 -> 10.02 ms
+    # in-situ; gate: zero cmd1/3/5 bucket flips, pose p95 0.47 deg =
+    # 1.8x the solver's own key-to-key noise floor (within the <=2x
+    # criterion but ABOVE the floor, unlike the stem flip — DESIGN §6e,
+    # measurements/encoder_bf16_gate_r5.json). Override with
+    # compute_dtype=float32 (and stem_dtype=float32 stem=polyphase for
+    # full reference-parity numerics).
+    sp_conf["compute_dtype"] = str(cfg.get(
+        "compute_dtype",
+        "bfloat16" if sp_conf["stem_dtype"] == "bfloat16" else "float32"))
     pipe = pipeline.PosePipeline(
         sp_params, gats_params, db,
         sp_config=sp_conf,

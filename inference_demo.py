@@ -105,6 +105,10 @@ def inference_core(cfg):
     sp_conf["stem"] = str(cfg.get(
         "stem",
         "direct" if sp_conf["stem_dtype"] == "bfloat16" else "polyphase"))
+    # full-encoder bf16, gate-validated (see inference.py / DESIGN §6e)
+    sp_conf["compute_dtype"] = str(cfg.get(
+        "compute_dtype",
+        "bfloat16" if sp_conf["stem_dtype"] == "bfloat16" else "float32"))
     pipe = pipeline.PosePipeline(
         sp_params, gats_params, db,
         sp_config=sp_conf,
