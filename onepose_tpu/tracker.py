@@ -78,6 +78,19 @@ def _tri_two_view(uv0, uv1, P0, P1):
     return xyz, jnp.stack([e0, e1], axis=1), z
 
 
+def _pack_f32(vals):
+    """Concatenate a list of arrays/scalars into ONE flat f32 vector.
+
+    On the tunneled backend every host fetch is a full HTTP round trip
+    (~25 ms, DESIGN §8); fetching a multi-leaf output tuple leaf-by-leaf
+    made the tracker RTT-bound (11 leaves ≈ 275 ms/frame — the r5
+    breakdown's unaccounted gap, measurements/tracker_breakdown_r5.json).
+    All packed values are exact in f32: indices/counts < 2^24, bools 0/1,
+    geometry already f32."""
+    return jnp.concatenate(
+        [jnp.ravel(v).astype(jnp.float32) for v in vals])
+
+
 @functools.partial(jax.jit, static_argnames=("num_hypotheses",
                                              "gate_scale"))
 def _track_step(kf_img, q_img, kf_kpts, kf_desc, kf_mask, kf_src_ok,
@@ -94,9 +107,11 @@ def _track_step(kf_img, q_img, kf_kpts, kf_desc, kf_mask, kf_src_ok,
     kf_P: [3, 4] the keyframe's K @ pose projection matrix (for the
     fused triangulation of unassigned KF↔query matches — previously a
     separate dispatch+fetch round trip per tracked frame).
-    Returns (pose, m0 [Kf]→query, keep [Kq] gated assignment mask,
-    n_keep, pnp_inliers, used_pnp, flow_ok, flow_inliers, have_init,
-    tri_xyz [Kf, 3], tri_good [Kf]).
+    Returns ONE packed f32 vector (see _pack_f32 / _unpack_track) holding
+    (pose, m0 [Kf]→query, keep [Kq] gated assignment mask, n_keep,
+    pnp_inliers, used_pnp, flow_ok, flow_inliers, have_init,
+    tri_xyz [Kf, 3], tri_good [Kf]) — one host fetch per frame instead
+    of eleven.
     Semantics match the previous two-kernel host flow (median*scale
     gate, floor 3 px, stages skipped below 8 correspondences; the
     reference's triangulation culling err<3px, 0.01<z<10,
@@ -155,8 +170,36 @@ def _track_step(kf_img, q_img, kf_kpts, kf_desc, kf_mask, kf_src_ok,
                 & (jnp.max(tri_err, axis=1) < 3.0)
                 & (jnp.min(tri_z, axis=1) > 0.01)
                 & (jnp.max(tri_z, axis=1) < 10.0))
-    return (pose, m0, keep, n_keep, pnp.num_inliers, used_pnp,
-            flow_ok, fpnp.num_inliers, have_init, tri_xyz, tri_good)
+    return _pack_f32([pose, m0, keep, n_keep, pnp.num_inliers, used_pnp,
+                      flow_ok, fpnp.num_inliers, have_init, tri_xyz,
+                      tri_good])
+
+
+def _unpack_track(vec: np.ndarray, nkf: int, nq: int):
+    """Host-side inverse of _track_step's packing. One np.asarray fetch
+    of the whole vector, then zero-copy views/casts."""
+    off = 0
+
+    def take(n):
+        nonlocal off
+        out = vec[off:off + n]
+        off += n
+        return out
+
+    pose = take(12).reshape(3, 4)
+    m0 = take(nkf).astype(np.int64)
+    keep = take(nq) > 0.5
+    n_keep = int(take(1)[0])
+    pnp_inl = int(take(1)[0])
+    used_pnp = bool(take(1)[0])
+    flow_ok = bool(take(1)[0])
+    flow_inl = int(take(1)[0])
+    have_init = bool(take(1)[0])
+    tri_xyz = take(nkf * 3).reshape(nkf, 3)
+    tri_good = take(nkf) > 0.5
+    assert off == len(vec)
+    return (pose, m0, keep, n_keep, pnp_inl, used_pnp, flow_ok, flow_inl,
+            have_init, tri_xyz, tri_good)
 
 
 @functools.partial(jax.jit, static_argnames=("it1", "it2", "refine_points"))
@@ -164,8 +207,10 @@ def _window_ba_step(poses, points, cam_idx, pt_idx, uv, Kobs, mask,
                     it1, it2, refine_points):
     """Both BA stages + the pose↔camera conversions in ONE dispatch:
     camera refinement with points held fixed (DB anchors), then
-    triangulated-point refinement with cameras fixed. One host fetch per
-    tracked frame instead of ~2·win_size small round trips."""
+    triangulated-point refinement with cameras fixed. Returns ONE packed
+    f32 vector ([W*12] poses then [P*3] points): one host fetch per
+    tracked frame instead of ~2·win_size small round trips (and one
+    instead of two since r5 — each leaf fetch is a full tunnel RTT)."""
     cams = jax.vmap(lm.pose_to_camera)(poses)
     prob = lm.BAProblem(cams, points, cam_idx, pt_idx, uv, Kobs, mask)
     res = lm.solve_ba(prob, iterations=it1, fix_points=True,
@@ -178,7 +223,7 @@ def _window_ba_step(poses, points, cam_idx, pt_idx, uv, Kobs, mask,
         pts_new = res2.points
     else:
         pts_new = points
-    return jax.vmap(lm.camera_to_pose)(res.cameras), pts_new
+    return _pack_f32([jax.vmap(lm.camera_to_pose)(res.cameras), pts_new])
 
 
 @dataclass
@@ -313,8 +358,10 @@ class BATracker:
         has_motion = motion is not None
         if motion is None:
             motion = np.eye(3, 4, dtype=np.float32)
+        nkf = kf.keypoints.shape[0]
+        nq = len(keypoints)
         (pose, m0, keep, n_keep, pnp_inl, used_pnp, flow_ok, flow_inl,
-         have_init, tri_xyz, tri_good) = jax.tree.map(np.asarray, _track_step(
+         have_init, tri_xyz, tri_good) = _unpack_track(np.asarray(_track_step(
             kf.image_dev, q_img_dev, kf.keypoints_dev, kf.descriptors_dev,
             kf.kpt_mask_dev, jnp.asarray(kf_has3d),
             jnp.asarray(self.points3d[np.clip(kf.point_ids, 0, None)]),
@@ -323,7 +370,7 @@ class BATracker:
             jnp.asarray(K, jnp.float32),
             jnp.asarray((kf.K @ kf.pose).astype(np.float32)),
             self._next_key(),
-            self.pnp_hypotheses, self.reproj_gate_scale))
+            self.pnp_hypotheses, self.reproj_gate_scale)), nkf, nq)
         if bool(flow_ok):
             info["mode"] = "flow"
             info["flow_inliers"] = int(flow_inl)
@@ -441,13 +488,16 @@ class BATracker:
 
         # Both solve stages + pose conversions in one dispatch, one fetch.
         free = ~self.point_fixed[pid_list]
-        poses_new, pts_new = jax.tree.map(np.asarray, _window_ba_step(
+        packed = np.asarray(_window_ba_step(
             jnp.asarray(poses), jnp.asarray(points_p),
             jnp.asarray(obs_cam_p), jnp.asarray(obs_pt_p),
             jnp.asarray(obs_uv_p), jnp.asarray(obs_K_p),
             jnp.asarray(obs_mask),
             self.ba_iterations, max(self.ba_iterations // 2, 2),
             bool(free.any())))
+        W = poses.shape[0]
+        poses_new = packed[:W * 12].reshape(W, 3, 4)
+        pts_new = packed[W * 12:].reshape(p_pad, 3)
         if free.any():
             self.points3d[pid_list[free]] = pts_new[:n_pts][free]
         for ci, fr in enumerate(self.frames):
