@@ -210,6 +210,9 @@ def inference(cfg):
 
 def main():
     from onepose_tpu.config import load_config
+    from onepose_tpu.utils.jax_cache import enable_persistent_cache
+
+    enable_persistent_cache()  # restart economics: DESIGN §11
 
     cfg = load_config(sys.argv[1:])
     {"inference": inference}[cfg.type](cfg)

@@ -175,6 +175,9 @@ def inference_core(cfg):
 
 def main():
     from onepose_tpu.config import load_config
+    from onepose_tpu.utils.jax_cache import enable_persistent_cache
+
+    enable_persistent_cache()  # restart economics: DESIGN §11
 
     cfg = load_config(sys.argv[1:])
     {"inference_demo": inference_core}[cfg.type](cfg)

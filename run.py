@@ -76,6 +76,9 @@ def merge_anno(cfg):
 
 def main():
     from onepose_tpu.config import load_config
+    from onepose_tpu.utils.jax_cache import enable_persistent_cache
+
+    enable_persistent_cache()  # restart economics: DESIGN §11
 
     cfg = load_config(sys.argv[1:])
     {"sfm": sfm, "merge_anno": merge_anno}[cfg.type](cfg)

@@ -371,6 +371,10 @@ def main():
     (hydra basic-sweeper surface): each ``key=a,b,c`` becomes a sweep
     axis; runs the cartesian product and reports per-run + best
     ``optimized_metric``."""
+    from onepose_tpu.utils.jax_cache import enable_persistent_cache
+
+    enable_persistent_cache()  # restart economics: DESIGN §11
+
     args = sys.argv[1:]
     multirun = False
     if args and args[0] in ("-m", "--multirun"):
