@@ -78,6 +78,20 @@ def _tri_two_view(uv0, uv1, P0, P1):
     return xyz, jnp.stack([e0, e1], axis=1), z
 
 
+def _img_unit_f32(img):
+    """Device-side image normalization for the fused kernels.
+
+    uint8 frames upload 1 byte/px (4x less tunnel/PCIe traffic — upload
+    was 32.5 ms of the 150 ms/frame r5 budget, DESIGN §10b) and convert
+    on chip; ``u.astype(f32) / 255`` on device is bit-identical to the
+    host-side ``np.float32(u) / 255`` a caller would otherwise do, since
+    every uint8 value is exact in f32 and f32 division is IEEE on both.
+    float frames pass through unchanged (already [0, 1])."""
+    if img.dtype == jnp.uint8:
+        return img.astype(jnp.float32) / jnp.float32(255.0)
+    return img.astype(jnp.float32)
+
+
 def _pack_f32(vals):
     """Concatenate a list of arrays/scalars into ONE flat f32 vector.
 
@@ -117,6 +131,10 @@ def _track_step(kf_img, q_img, kf_kpts, kf_desc, kf_mask, kf_src_ok,
     reference's triangulation culling err<3px, 0.01<z<10,
     ba_tracker.py:546-584)."""
     key_flow, key_pnp = jax.random.split(key)
+
+    # images arrive uint8 (compact upload) or f32; LK runs in f32 [0, 1]
+    kf_img = _img_unit_f32(kf_img)
+    q_img = _img_unit_f32(q_img)
 
     # pose init: LK flow + PnP on the flowed 2D ↔ known 3D, falling back
     # to the motion prediction on-device
@@ -228,7 +246,9 @@ def _window_ba_step(poses, points, cam_idx, pt_idx, uv, Kobs, mask,
 
 @dataclass
 class Frame:
-    image: np.ndarray            # [H, W] grayscale float in [0, 1]
+    image: np.ndarray            # [H, W] grayscale: f32 in [0, 1] or uint8
+                                 # (uint8 uploads 1 byte/px; converted
+                                 # on device — _img_unit_f32)
     keypoints: np.ndarray        # [K, 2]
     descriptors: np.ndarray      # [K, D]
     kpt_mask: np.ndarray         # [K] valid keypoints
@@ -308,8 +328,10 @@ class BATracker:
             point_ids[np.asarray(kpt_indices)] = start + np.arange(
                 len(mkpts3d))
 
+        image = np.asarray(image)
         frame = Frame(
-            image=np.asarray(image, np.float32),
+            image=image if image.dtype == np.uint8
+            else image.astype(np.float32),
             keypoints=np.asarray(keypoints, np.float32),
             descriptors=np.asarray(descriptors, np.float32),
             kpt_mask=np.asarray(kpt_mask, bool),
@@ -342,8 +364,12 @@ class BATracker:
             return None, info
 
         # upload the query tensors ONCE; the fused step and the stored
-        # Frame share these device arrays
-        q_img_dev = jnp.asarray(query_image, jnp.float32)
+        # Frame share these device arrays. uint8 frames stay uint8 on
+        # the wire (4x smaller) and normalize inside the jit.
+        query_image = np.asarray(query_image)
+        q_img_dev = jnp.asarray(
+            query_image if query_image.dtype == np.uint8
+            else query_image.astype(np.float32))
         q_kpts_dev = jnp.asarray(keypoints, jnp.float32)
         q_desc_dev = jnp.asarray(descriptors, jnp.float32)
         q_mask_dev = jnp.asarray(kpt_mask, bool)
@@ -404,7 +430,8 @@ class BATracker:
             point_ids[m0[good_src]] = new_ids
 
         query_frame = Frame(
-            image=np.asarray(query_image, np.float32),
+            image=query_image if query_image.dtype == np.uint8
+            else query_image.astype(np.float32),
             keypoints=np.asarray(keypoints, np.float32),
             descriptors=np.asarray(descriptors, np.float32),
             kpt_mask=np.asarray(kpt_mask, bool),

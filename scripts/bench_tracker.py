@@ -79,6 +79,10 @@ def main():
                     help="also attribute the per-frame wall time: host "
                          "round-trip (RTT) vs on-device kernel time for "
                          "each of the two fused dispatches")
+    ap.add_argument("--uint8", action="store_true",
+                    help="feed frames as uint8 (1 byte/px on the wire, "
+                         "normalized on device — tracker._img_unit_f32); "
+                         "bit-identical to feeding u/255 as f32")
     args = ap.parse_args()
     if args.warmup >= args.frames:
         ap.error(f"--warmup ({args.warmup}) must be < --frames "
@@ -88,6 +92,10 @@ def main():
     n_slots = 512
     K, pts3d, frames = make_sequence(rng, args.frames + 1)
     n = len(pts3d)
+    if args.uint8:
+        for fr in frames:
+            fr["image"] = np.clip(np.round(fr["image"] * 255.0), 0,
+                                  255).astype(np.uint8)
 
     # pad keypoints to a static slot budget (the demo path's shape
     # contract; the tracker never retraces across frames then)

@@ -213,6 +213,41 @@ def test_track_static_shapes_no_retrace():
     assert trk._track_step._cache_size() - step0 <= 1
 
 
+def test_uint8_image_path_bit_identical():
+    """uint8 frames upload 1 byte/px and normalize on device
+    (tracker._img_unit_f32); the result must be BIT-identical to feeding
+    the host-converted f32 image (u/255) — device astype+div of exact
+    uint8 values is the same IEEE f32 computation."""
+    rng = np.random.default_rng(7)
+    K, pts3d, frames = make_plane_sequence(rng, n_frames=3)
+    n = len(pts3d)
+
+    def run(as_uint8):
+        tracker = BATracker(win_size=4, pnp_hypotheses=64,
+                            ba_iterations=2, seed=5)
+        poses = []
+        for i, fr in enumerate(frames):
+            u8 = np.clip(np.round(fr["image"] * 255.0), 0,
+                         255).astype(np.uint8)
+            img = u8 if as_uint8 else u8.astype(np.float32) / np.float32(
+                255.0)
+            if i == 0:
+                assert tracker.add_keyframe(
+                    img, fr["keypoints"], fr["descriptors"],
+                    np.ones(n, bool), fr["pose"], K,
+                    mkpts3d=pts3d, kpt_indices=np.arange(n))
+            else:
+                pose, info = tracker.track(
+                    img, fr["keypoints"], fr["descriptors"],
+                    np.ones(n, bool), K)
+                assert pose is not None, (i, info)
+                poses.append(pose)
+        return poses
+
+    for p_u8, p_f32 in zip(run(True), run(False)):
+        np.testing.assert_array_equal(p_u8, p_f32)
+
+
 @pytest.mark.slow
 def test_fused_triangulation_registers_new_points():
     """A keyframe whose keypoints only PARTIALLY carry 3D ids must grow
